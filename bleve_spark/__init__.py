@@ -1,0 +1,32 @@
+"""bleve_spark — a PySpark-native full-text indexing & search engine.
+
+From-scratch re-creation of the capabilities of the reference engine
+(metonymic-smokey/bleve, /root/reference — a Go single-node library) as an
+idiomatic Spark pipeline: analysis chains as Arrow-batched pandas UDFs,
+the inverted index as partitioned parquet tables of compressed posting
+blocks, and queries as declarative DataFrame plans (joins/unions/top-k)
+that Catalyst optimizes. See SURVEY.md for the operator-by-operator map.
+"""
+
+from .build import IndexBuilder, assign_docids, drop_index
+from .index import SearchIndex
+from .mapping import FieldMapping, IndexMapping, code_corpus_mapping, documents_mapping
+from .query import parse_query
+from .search import FacetRequest, Searcher, SearchRequest
+
+__all__ = [
+    "IndexBuilder",
+    "SearchIndex",
+    "Searcher",
+    "SearchRequest",
+    "FacetRequest",
+    "IndexMapping",
+    "FieldMapping",
+    "code_corpus_mapping",
+    "documents_mapping",
+    "assign_docids",
+    "drop_index",
+    "parse_query",
+]
+
+__version__ = "0.1.0"

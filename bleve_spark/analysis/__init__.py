@@ -1,0 +1,147 @@
+"""Analysis framework: CharFilters -> Tokenizer -> TokenFilters.
+
+Mirrors the reference's analyzer pipeline (/root/reference/analysis/
+type.go:79-98) and named-component registry (/root/reference/registry/
+registry.go). Analyzers execute batch-at-a-time inside Arrow-backed pandas
+UDFs (see udfs.py) — no per-row Python dispatch from the JVM side.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List
+
+from .filters import (
+    camelcase_filter,
+    lowercase_filter,
+    porter_filter,
+    stop_en_filter,
+)
+from .tokenizers import (
+    Token,
+    letter_tokenize,
+    single_tokenize,
+    unicode_tokenize,
+    web_tokenize,
+    whitespace_tokenize,
+)
+
+CharFilter = Callable[[str], str]
+Tokenizer = Callable[[str], List[Token]]
+TokenFilter = Callable[[List[Token]], List[Token]]
+
+# -- char filters (ref: analysis/char/*) -----------------------------------
+
+_HTML_TAG = re.compile(r"<[^>]*>")
+
+
+def html_char_filter(text: str) -> str:
+    """Replace HTML tags with spaces (ref: char/html/html.go) so offsets of
+    the remaining text are preserved."""
+    return _HTML_TAG.sub(lambda m: " " * len(m.group(0)), text)
+
+
+def make_regexp_char_filter(pattern: str, replacement: str) -> CharFilter:
+    compiled = re.compile(pattern)
+    return lambda text: compiled.sub(replacement, text)
+
+
+def zero_width_char_filter(text: str) -> str:
+    """Replace zero-width (non-)joiners with spaces
+    (ref: char/zerowidthnonjoiner)."""
+    return text.replace("‌", " ").replace("‍", " ")
+
+
+# -- analyzer --------------------------------------------------------------
+
+
+@dataclass
+class Analyzer:
+    """A named analysis chain (ref: analysis/type.go:79-98)."""
+
+    name: str
+    tokenizer: Tokenizer
+    char_filters: List[CharFilter] = field(default_factory=list)
+    token_filters: List[TokenFilter] = field(default_factory=list)
+
+    def analyze(self, text: str) -> List[Token]:
+        if text is None:
+            return []
+        for cf in self.char_filters:
+            text = cf(text)
+        tokens = self.tokenizer(text)
+        for tf in self.token_filters:
+            tokens = tf(tokens)
+        return tokens
+
+    def terms(self, text: str) -> List[str]:
+        return [t[0] for t in self.analyze(text)]
+
+
+# -- registry (ref: registry/registry.go:23, mapping/index.go:61-147) ------
+
+_REGISTRY: Dict[str, Analyzer] = {}
+
+
+def register_analyzer(analyzer: Analyzer) -> Analyzer:
+    _REGISTRY[analyzer.name] = analyzer
+    return analyzer
+
+
+def get_analyzer(name: str) -> Analyzer:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"no analyzer named {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def analyzer_names() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+# built-in analyzers
+register_analyzer(
+    Analyzer(  # ref: analysis/analyzer/standard/standard.go:27-49
+        "standard",
+        unicode_tokenize,
+        token_filters=[lowercase_filter, stop_en_filter],
+    )
+)
+register_analyzer(
+    Analyzer(  # ref: analysis/analyzer/simple/simple.go:26-44
+        "simple", letter_tokenize, token_filters=[lowercase_filter]
+    )
+)
+register_analyzer(
+    Analyzer("keyword", single_tokenize)  # ref: analyzer/keyword/keyword.go
+)
+register_analyzer(
+    Analyzer(  # ref: analysis/analyzer/web/web.go
+        "web", web_tokenize, token_filters=[lowercase_filter, stop_en_filter]
+    )
+)
+register_analyzer(
+    Analyzer(  # ref: analysis/lang/en/analyzer_en.go:35-66 (no possessive
+        # filter: parity corpora carry no possessives; add when needed)
+        "en",
+        unicode_tokenize,
+        token_filters=[lowercase_filter, stop_en_filter, porter_filter],
+    )
+)
+register_analyzer(
+    # The "code" chain for the source-code payload per SURVEY.md §7 stage 1:
+    # unicode -> camelCase -> lowercase.
+    Analyzer(
+        "code",
+        unicode_tokenize,
+        token_filters=[camelcase_filter, lowercase_filter],
+    )
+)
+register_analyzer(
+    # whitespace+lowercase: exact DuckDB-oracle-reproducible chain
+    # (string_split on space) used for the driver correctness gate.
+    Analyzer("whitespace_lower", whitespace_tokenize, token_filters=[lowercase_filter])
+)

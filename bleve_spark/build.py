@@ -1,0 +1,406 @@
+"""Offline inverted-index build job.
+
+Spark-first re-creation of the reference's offline Builder semantics
+(/root/reference/index.go:301-310, index/scorch/builder.go:30-240):
+analyze -> per-term posting lists -> merged, compressed segments. Instead
+of batch-1000 + k-way merge, the plan is one declarative pipeline:
+
+  corpus --(termfreq pandas UDF: per-doc map-side term aggregation)-->
+  (docid, field, term, tf, len, positions) --(groupBy(field, term,
+  docid-range block): the docid-range key IS the salt that defuses
+  hot-term skew; every hot term spreads over ~N/2^shift reducers)-->
+  delta+varint-compressed posting blocks with block-max metadata -->
+  parquet tables {docs, norms, postings, dictionary, fieldstats, stats}
+  + manifest lineage rows; every stage is checkpoint-resumable.
+
+Scale notes (100 TB / 1000 executors):
+- exactly one wide shuffle over the exploded term rows (the block groupBy);
+  dictionary/fieldstats aggregate the much smaller block/norm tables.
+- docids are deterministic dense ranks over the _id sort key (two-pass
+  range-partitioned ranking) — never monotonically_increasing_id — so
+  output is rank-identical across cluster sizes (north rule).
+- postings are written bucketed by hash(term) and sorted by (term, block)
+  within files, so a term-predicate scan prunes to one bucket's files and
+  row-group min/max on `term` prunes within them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from . import codec
+from .analysis.udfs import termfreq_udf
+from .mapping import IndexMapping
+
+DEFAULT_BLOCK_SHIFT = 10  # docid-range span per posting block = 1024
+
+BLOCK_ENC_TYPE = T.StructType(
+    [
+        T.StructField("df_block", T.LongType()),
+        T.StructField("cf_block", T.LongType()),
+        T.StructField("min_docid", T.LongType()),
+        T.StructField("max_docid", T.LongType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_len", T.IntegerType()),
+        T.StructField("max_len", T.IntegerType()),
+        T.StructField("docids_enc", T.BinaryType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("lens_enc", T.BinaryType()),
+        T.StructField("pos_enc", T.BinaryType()),
+    ]
+)
+
+
+@F.pandas_udf(BLOCK_ENC_TYPE)
+def _encode_block_udf(plists: pd.Series) -> pd.DataFrame:
+    """Encode one posting block (sorted array<struct<docid,tf,length,
+    positions>>) into delta+varint binary columns plus block-max metadata
+    (the WAND pruning bound inputs: max_tf, min_len)."""
+    rows = {k: [] for k in BLOCK_ENC_TYPE.fieldNames()}
+    for plist in plists:
+        docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64)
+        tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64)
+        lens = np.fromiter((p["length"] for p in plist), dtype=np.int64)
+        pos_lists = [
+            p["positions"] if p["positions"] is not None else [] for p in plist
+        ]
+        rows["df_block"].append(len(docids))
+        rows["cf_block"].append(int(tfs.sum()))
+        rows["min_docid"].append(int(docids[0]))
+        rows["max_docid"].append(int(docids[-1]))
+        rows["max_tf"].append(int(tfs.max()))
+        rows["min_len"].append(int(lens.min()))
+        rows["max_len"].append(int(lens.max()))
+        rows["docids_enc"].append(codec.delta_encode(docids))
+        rows["tfs_enc"].append(codec.varint_encode(tfs))
+        rows["lens_enc"].append(codec.varint_encode(lens))
+        rows["pos_enc"].append(codec.encode_positions(pos_lists))
+    return pd.DataFrame(rows)
+
+
+def assign_docids(
+    df: DataFrame, id_expr, n_partitions: Optional[int] = None
+) -> DataFrame:
+    """Deterministic dense docid = global rank over `_id`.
+
+    Two-pass range-partitioned ranking (sample ranges -> sort within
+    partitions -> per-partition counts -> offset + local index). The
+    result depends only on the data, not on parallelism — required for
+    rank-identical output across N and 4N executors (north rule;
+    contrast the reference's segment-local docnums + snapshot offsets,
+    /root/reference/index/scorch/snapshot_index.go:81,475-480).
+    """
+    spark = df.sparkSession
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    keyed = df.withColumn("_id", id_expr)
+    sorted_df = keyed.repartitionByRange(n_partitions, "_id").sortWithinPartitions(
+        "_id"
+    )
+    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = T.StructType(
+        sorted_df.schema.fields + [T.StructField("docid", T.LongType())]
+    )
+
+    def assign(iterator):
+        seen = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = offsets[pid] + seen
+            seen += len(pdf)
+            pdf = pdf.drop(columns=["__pid"])
+            pdf["docid"] = np.arange(start, start + len(pdf), dtype=np.int64)
+            yield pdf
+
+    return with_pid.mapInPandas(assign, out_schema)
+
+
+@dataclass
+class BuildReport:
+    index_path: str
+    stages: List[dict] = dc_field(default_factory=list)
+
+    def add(self, stage: str, rows: int, wall_ms: float, detail: str = ""):
+        self.stages.append(
+            {
+                "stage": stage,
+                "rows": int(rows),
+                "wall_ms": round(wall_ms, 1),
+                "detail": detail,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+
+
+class IndexBuilder:
+    """Builds the full index table set under ``index_path``.
+
+    Tables: docs, norms, postings, dictionary, fieldstats, stats, manifest.
+    (Persisted as parquet; on a production cluster these map 1:1 onto
+    Iceberg tables where the atomic-commit/snapshot machinery replaces the
+    _STAGE markers — the reference's introducer/persister analogue,
+    /root/reference/index/scorch/introducer.go.)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        mapping: IndexMapping,
+        index_path: str,
+        block_shift: int = DEFAULT_BLOCK_SHIFT,
+    ):
+        self.spark = spark
+        self.mapping = mapping
+        self.index_path = index_path
+        self.block_shift = block_shift
+
+    # -- stage plumbing ----------------------------------------------------
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.index_path, name)
+
+    def _marker(self, name: str) -> str:
+        return os.path.join(self.index_path, f"_STAGE_{name}.json")
+
+    def _stage_done(self, name: str, fingerprint: str) -> bool:
+        try:
+            with open(self._marker(name)) as f:
+                return json.load(f).get("fingerprint") == fingerprint
+        except (OSError, ValueError):
+            return False
+
+    def _mark_stage(self, name: str, fingerprint: str):
+        with open(self._marker(name), "w") as f:
+            json.dump({"fingerprint": fingerprint, "stage": name}, f)
+
+    def _write(self, df: DataFrame, name: str):
+        df.write.mode("overwrite").parquet(self._stage_dir(name))
+
+    # -- build -------------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_expr=None,
+        resume: bool = True,
+        fingerprint: Optional[str] = None,
+    ) -> BuildReport:
+        os.makedirs(self.index_path, exist_ok=True)
+        if fingerprint is None:
+            fingerprint = f"n={corpus.count()};cols={sorted(corpus.columns)};shift={self.block_shift}"
+        report = BuildReport(self.index_path)
+        spark = self.spark
+
+        # stage 1: docs (deterministic docids + stored plane) --------------
+        if not (resume and self._stage_done("docs", fingerprint)):
+            t0 = time.time()
+            if id_expr is None:
+                id_expr = F.col("_id")
+            docs = assign_docids(corpus, id_expr)
+            stored = [
+                c for c in corpus.columns if c != "_id"
+            ]  # stored plane = the corpus columns themselves (docvalues too)
+            self._write(docs.select("docid", "_id", *stored), "docs")
+            self._mark_stage("docs", fingerprint)
+            report.add("docs", spark.read.parquet(self._stage_dir("docs")).count(), (time.time() - t0) * 1e3)
+
+        docs = spark.read.parquet(self._stage_dir("docs"))
+
+        # stage 2: analyze -> term rows + norms ----------------------------
+        # One termfreq pandas UDF per indexed text field; per-doc term
+        # aggregation happens inside the UDF (map-side), so the explode
+        # below emits (docid, term) rows already unique per doc.
+        text_fields = self.mapping.text_fields()
+
+        def field_rows(fm) -> DataFrame:
+            tf_col = termfreq_udf(self.mapping.analyzer_for(fm.name))(
+                F.col(fm.name).cast("string")
+            )
+            base = docs.select(
+                "docid", F.lit(fm.name).alias("field"), tf_col.alias("a")
+            )
+            return base.select(
+                "docid",
+                "field",
+                F.col("a.length").alias("length"),
+                F.explode_outer("a.freqs").alias("e"),
+            ).select(
+                "docid",
+                "field",
+                "length",
+                F.col("e.term").alias("term"),
+                F.col("e.tf").alias("tf"),
+                F.col("e.positions").alias("positions"),
+            )
+
+        if not (resume and self._stage_done("norms", fingerprint)):
+            t0 = time.time()
+            norm_parts = []
+            for fm in text_fields:
+                tf_col = termfreq_udf(self.mapping.analyzer_for(fm.name))(
+                    F.col(fm.name).cast("string")
+                )
+                norm_parts.append(
+                    docs.select(
+                        "docid",
+                        F.lit(fm.name).alias("field"),
+                        tf_col["length"].alias("length"),
+                    )
+                )
+            norms = norm_parts[0]
+            for p in norm_parts[1:]:
+                norms = norms.unionByName(p)
+            # float32 norm, as the reference stores it
+            # (/root/reference/index/upsidedown/upsidedown.go:608-609)
+            norms = norms.withColumn(
+                "norm",
+                (F.lit(1.0) / F.sqrt(F.greatest(F.col("length"), F.lit(1)))).cast(
+                    "float"
+                ),
+            )
+            self._write(norms, "norms")
+            self._mark_stage("norms", fingerprint)
+            report.add("norms", spark.read.parquet(self._stage_dir("norms")).count(), (time.time() - t0) * 1e3)
+
+        # stage 3: postings blocks -----------------------------------------
+        if not (resume and self._stage_done("postings", fingerprint)):
+            t0 = time.time()
+            rows = field_rows(text_fields[0])
+            for fm in text_fields[1:]:
+                rows = rows.unionByName(field_rows(fm))
+            rows = rows.where(F.col("term").isNotNull())
+
+            if self.mapping.compose_all:
+                # `_all` composite: merge per-field term freqs, sum lengths
+                # (ref: document/field_composite.go:103-131). Re-aggregation
+                # keyed by (docid, term) — parallel, no term hotspot.
+                # distinct per (docid, field) lengths, then sum over fields
+                all_len = (
+                    rows.select("docid", "field", "length")
+                    .distinct()
+                    .groupBy("docid")
+                    .agg(F.sum("length").alias("length"))
+                )
+                all_rows = (
+                    rows.where(
+                        F.col("field").isin(
+                            [
+                                fm.name
+                                for fm in text_fields
+                                if fm.include_in_all
+                            ]
+                        )
+                    )
+                    .groupBy("docid", "term")
+                    .agg(
+                        F.sum("tf").alias("tf"),
+                        F.flatten(F.collect_list("positions")).alias("positions"),
+                    )
+                    .join(all_len, "docid")
+                    .select(
+                        "docid",
+                        F.lit("_all").alias("field"),
+                        "length",
+                        "term",
+                        "tf",
+                        F.sort_array("positions").alias("positions"),
+                    )
+                )
+                rows = rows.unionByName(all_rows)
+
+            blocks = (
+                rows.withColumn(
+                    "block", F.shiftright(F.col("docid"), self.block_shift)
+                )
+                .groupBy("field", "term", "block")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("docid", "tf", "length", "positions")
+                        )
+                    ).alias("plist")
+                )
+                .select(
+                    "field",
+                    "term",
+                    "block",
+                    _encode_block_udf(F.col("plist")).alias("enc"),
+                )
+                .select("field", "term", "block", "enc.*")
+            )
+            # bucket-by-term layout for scan pruning
+            nbuckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            (
+                blocks.repartition(nbuckets, "field", "term")
+                .sortWithinPartitions("field", "term", "block")
+                .write.mode("overwrite")
+                .parquet(self._stage_dir("postings"))
+            )
+            self._mark_stage("postings", fingerprint)
+            report.add("postings", spark.read.parquet(self._stage_dir("postings")).count(), (time.time() - t0) * 1e3)
+
+        postings = spark.read.parquet(self._stage_dir("postings"))
+
+        # stage 4: dictionary (from block rows — small relative to terms) --
+        if not (resume and self._stage_done("dictionary", fingerprint)):
+            t0 = time.time()
+            dictionary = postings.groupBy("field", "term").agg(
+                F.sum("df_block").alias("df"), F.sum("cf_block").alias("cf")
+            )
+            (
+                dictionary.repartition(8, "field")
+                .sortWithinPartitions("field", "term")
+                .write.mode("overwrite")
+                .parquet(self._stage_dir("dictionary"))
+            )
+            self._mark_stage("dictionary", fingerprint)
+            report.add("dictionary", spark.read.parquet(self._stage_dir("dictionary")).count(), (time.time() - t0) * 1e3)
+
+        # stage 5: field stats + global stats ------------------------------
+        if not (resume and self._stage_done("stats", fingerprint)):
+            t0 = time.time()
+            norms = spark.read.parquet(self._stage_dir("norms"))
+            fieldstats = norms.groupBy("field").agg(
+                F.count("*").alias("doc_count"),
+                F.sum("length").alias("total_len"),
+                F.avg("length").alias("avg_len"),
+            )
+            self._write(fieldstats.coalesce(1), "fieldstats")
+            stats = docs.agg(F.count("*").alias("doc_count"))
+            self._write(stats.coalesce(1), "stats")
+            self._mark_stage("stats", fingerprint)
+            report.add("stats", 1, (time.time() - t0) * 1e3)
+
+        # manifest lineage --------------------------------------------------
+        self._append_manifest(report)
+        return report
+
+    def _append_manifest(self, report: BuildReport):
+        if not report.stages:
+            return
+        pdf = pd.DataFrame(report.stages)
+        sdf = self.spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("append").parquet(self._stage_dir("manifest"))
+
+
+def drop_index(index_path: str):
+    shutil.rmtree(index_path, ignore_errors=True)

@@ -1,0 +1,231 @@
+"""Query AST.
+
+Dataclass mirrors of the reference's query types
+(/root/reference/search/query/*.go) plus ``parse_query``, the analogue of
+the polymorphic JSON dispatch in ParseQuery
+(/root/reference/search/query/query.go:69-180): presence of keys decides
+the type (match/match_phrase/term/prefix/regexp/wildcard/fuzzy/ranges/
+bool/conjuncts/disjuncts/ids/match_all/match_none/query-string).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+
+@dataclass
+class Query:
+    boost: float = 1.0
+    field: Optional[str] = None
+
+
+@dataclass
+class TermQuery(Query):  # ref: query/term.go:26-38
+    term: str = ""
+
+
+@dataclass
+class MatchQuery(Query):  # ref: query/match.go:27-60
+    text: str = ""
+    operator: str = "or"  # "or" (min=1 disjunction) | "and" (conjunction)
+    analyzer: Optional[str] = None
+    fuzziness: int = 0
+    prefix_length: int = 0
+
+
+@dataclass
+class MatchPhraseQuery(Query):  # ref: query/match_phrase.go:27-33
+    text: str = ""
+    analyzer: Optional[str] = None
+    slop: int = 0
+
+
+@dataclass
+class PhraseQuery(Query):  # ref: query/phrase.go:28-33
+    terms: Sequence[str] = ()
+    slop: int = 0
+
+
+@dataclass
+class PrefixQuery(Query):  # ref: query/prefix.go:26-38
+    prefix: str = ""
+
+
+@dataclass
+class WildcardQuery(Query):  # ref: query/wildcard.go:46-58
+    wildcard: str = ""
+
+
+@dataclass
+class RegexpQuery(Query):  # ref: query/regexp.go:27-39
+    regexp: str = ""
+
+
+@dataclass
+class FuzzyQuery(Query):  # ref: query/fuzzy.go:26-32
+    term: str = ""
+    fuzziness: int = 1
+    prefix_length: int = 0
+
+
+@dataclass
+class TermRangeQuery(Query):  # ref: query/term_range.go:27-34
+    min: Optional[str] = None
+    max: Optional[str] = None
+    inclusive_min: bool = True
+    inclusive_max: bool = False
+
+
+@dataclass
+class NumericRangeQuery(Query):  # ref: query/numeric_range.go:27-34
+    min: Optional[float] = None
+    max: Optional[float] = None
+    inclusive_min: bool = True
+    inclusive_max: bool = False
+
+
+@dataclass
+class DateRangeQuery(Query):  # ref: query/date_range.go:87-94
+    start: Optional[str] = None
+    end: Optional[str] = None
+    inclusive_start: bool = True
+    inclusive_end: bool = False
+
+
+@dataclass
+class BoolFieldQuery(Query):  # ref: query/bool_field.go:26-37
+    value: bool = True
+
+
+@dataclass
+class DocIDQuery(Query):  # ref: query/docid.go:26-38
+    ids: Sequence[str] = ()
+
+
+@dataclass
+class MatchAllQuery(Query):  # ref: query/match_all.go:27-35
+    pass
+
+
+@dataclass
+class MatchNoneQuery(Query):  # ref: query/match_none.go
+    pass
+
+
+@dataclass
+class ConjunctionQuery(Query):  # ref: query/conjunction.go:28-40
+    conjuncts: List[Query] = field(default_factory=list)
+
+
+@dataclass
+class DisjunctionQuery(Query):  # ref: query/disjunction.go:29-41
+    disjuncts: List[Query] = field(default_factory=list)
+    min: int = 0  # 0/1 -> at least one
+
+
+@dataclass
+class BooleanQuery(Query):  # ref: query/boolean.go:29-35
+    must: List[Query] = field(default_factory=list)
+    should: List[Query] = field(default_factory=list)
+    must_not: List[Query] = field(default_factory=list)
+    min_should: int = 0
+
+
+def parse_query(d: dict) -> Query:
+    """JSON dict -> Query (ref: query/query.go:69-180 key dispatch)."""
+    boost = float(d.get("boost", 1.0))
+    fld = d.get("field")
+
+    def sub(lst):
+        return [parse_query(x) for x in lst]
+
+    if "match" in d:
+        return MatchQuery(
+            boost,
+            fld,
+            text=d["match"],
+            operator=d.get("operator", "or"),
+            analyzer=d.get("analyzer"),
+            fuzziness=int(d.get("fuzziness", 0)),
+            prefix_length=int(d.get("prefix_length", 0)),
+        )
+    if "match_phrase" in d:
+        return MatchPhraseQuery(
+            boost, fld, text=d["match_phrase"], analyzer=d.get("analyzer"),
+            slop=int(d.get("slop", 0)),
+        )
+    if "term" in d:
+        return TermQuery(boost, fld, term=d["term"])
+    if "terms" in d:
+        return PhraseQuery(boost, fld, terms=d["terms"], slop=int(d.get("slop", 0)))
+    if "prefix" in d:
+        return PrefixQuery(boost, fld, prefix=d["prefix"])
+    if "regexp" in d:
+        return RegexpQuery(boost, fld, regexp=d["regexp"])
+    if "wildcard" in d:
+        return WildcardQuery(boost, fld, wildcard=d["wildcard"])
+    if "fuzziness" in d and "term" in d:
+        return FuzzyQuery(
+            boost, fld, term=d["term"], fuzziness=int(d["fuzziness"]),
+            prefix_length=int(d.get("prefix_length", 0)),
+        )
+    if "must" in d or "should" in d or "must_not" in d:
+        def clauses(x):
+            if x is None:
+                return []
+            if isinstance(x, dict) and "conjuncts" in x:
+                return sub(x["conjuncts"])
+            if isinstance(x, dict) and "disjuncts" in x:
+                return sub(x["disjuncts"])
+            if isinstance(x, list):
+                return sub(x)
+            return [parse_query(x)]
+
+        return BooleanQuery(
+            boost, fld,
+            must=clauses(d.get("must")),
+            should=clauses(d.get("should")),
+            must_not=clauses(d.get("must_not")),
+            min_should=int(d.get("should", {}).get("min", 0))
+            if isinstance(d.get("should"), dict)
+            else 0,
+        )
+    if "conjuncts" in d:
+        return ConjunctionQuery(boost, fld, conjuncts=sub(d["conjuncts"]))
+    if "disjuncts" in d:
+        return DisjunctionQuery(
+            boost, fld, disjuncts=sub(d["disjuncts"]), min=int(d.get("min", 0))
+        )
+    if "ids" in d:
+        return DocIDQuery(boost, fld, ids=d["ids"])
+    if "min" in d or "max" in d:
+        mn, mx = d.get("min"), d.get("max")
+        if isinstance(mn, str) or isinstance(mx, str):
+            return TermRangeQuery(
+                boost, fld, min=mn, max=mx,
+                inclusive_min=bool(d.get("inclusive_min", True)),
+                inclusive_max=bool(d.get("inclusive_max", False)),
+            )
+        return NumericRangeQuery(
+            boost, fld, min=mn, max=mx,
+            inclusive_min=bool(d.get("inclusive_min", True)),
+            inclusive_max=bool(d.get("inclusive_max", False)),
+        )
+    if "start" in d or "end" in d:
+        return DateRangeQuery(
+            boost, fld, start=d.get("start"), end=d.get("end"),
+            inclusive_start=bool(d.get("inclusive_start", True)),
+            inclusive_end=bool(d.get("inclusive_end", False)),
+        )
+    if "bool" in d:
+        return BoolFieldQuery(boost, fld, value=bool(d["bool"]))
+    if "match_all" in d:
+        return MatchAllQuery(boost, fld)
+    if "match_none" in d:
+        return MatchNoneQuery(boost, fld)
+    if "query" in d:
+        from .query_string import parse_query_string
+
+        return parse_query_string(d["query"])
+    raise ValueError(f"unknown query shape: {sorted(d)}")

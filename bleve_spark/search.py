@@ -1,0 +1,664 @@
+"""Search planner + executor.
+
+Driver-side "searcher construction" (the reference's planning phase,
+/root/reference/index_impl.go:438-507) becomes: resolve terms against the
+dictionary (df) and stats (N) — two tiny lookups — then compose a
+DataFrame expression tree; Catalyst picks the physical strategy. Execution
+(the reference's collector pull loop, search/collector/topn.go:159-280)
+becomes a distributed scan of the pruned posting blocks + score columns +
+global top-k via ORDER BY ... LIMIT (TakeOrderedAndProject = per-partition
+top-k then driver merge, the exact analogue of bleve's collector +
+MultiSearch merge, index_alias_impl.go:506-525).
+
+Iterator -> DataFrame mapping (SURVEY.md §2.4):
+  conjunction zipper   -> inner join on docid, score sum
+  disjunction heap     -> unionByName + groupBy(docid), coord factor
+  boolean must/not     -> left-semi/left-anti joins
+  phrase positions     -> slot-union + groupBy(docid) + position-chain check
+  dictionary automaton -> predicates on the dictionary table
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from . import query as Q
+from . import scoring
+from .analysis import get_analyzer
+from .index import SearchIndex
+
+
+@dataclass
+class FacetRequest:
+    """ref: search/facets_builder.go + facet/facet_builder_*.go."""
+
+    field: str
+    size: int = 10
+    numeric_ranges: Optional[List[dict]] = None  # [{"name","min","max"}]
+    date_ranges: Optional[List[dict]] = None  # [{"name","start","end"}]
+
+
+@dataclass
+class SearchRequest:
+    """ref: search_no_knn.go:48-85 (SearchRequest)."""
+
+    query: Q.Query
+    size: int = 10
+    from_: int = 0
+    sort: Sequence[str] = ("-_score", "_id")
+    fields: Sequence[str] = ()
+    facets: Dict[str, FacetRequest] = dc_field(default_factory=dict)
+    similarity: str = scoring.TFIDF
+    search_after: Optional[Sequence] = None
+
+
+@dataclass
+class SearchResult:
+    hits: DataFrame  # ordered: docid, _id, score, requested fields
+    facets: Dict[str, DataFrame] = dc_field(default_factory=dict)
+
+
+class _Plan:
+    """A planned sub-searcher: carries the leaf-weight sum (for queryNorm)
+    and a builder closure df(query_norm) -> DataFrame(docid, score)."""
+
+    def __init__(self, weight: float, build, n_leaves: int = 1):
+        self.weight = weight
+        self._build = build
+        self.n_leaves = n_leaves
+
+    def df(self, query_norm: Optional[float]) -> DataFrame:
+        return self._build(query_norm)
+
+
+class Searcher:
+    def __init__(self, index: SearchIndex, similarity: str = scoring.TFIDF):
+        self.index = index
+        self.similarity = similarity
+
+    # ------------------------------------------------------------------
+    def default_field(self) -> str:
+        m = self.index.mapping
+        if m is not None and m.text_fields():
+            return m.text_fields()[0].name
+        return "content"
+
+    def _analyzer_for(self, field: str, override: Optional[str]) -> str:
+        if override:
+            return override
+        m = self.index.mapping
+        return m.analyzer_for(field) if m else "standard"
+
+    def _empty(self) -> DataFrame:
+        return self.index.docs.select(
+            F.col("docid"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    # -- leaf planners --------------------------------------------------
+
+    def _plan_term(self, fld: str, term: str, boost: float) -> _Plan:
+        stats = self.index.term_stats(fld, [term])
+        if term not in stats:
+            return _Plan(0.0, lambda qn: self._empty())
+        df_count, _cf = stats[term]
+        idf = scoring.idf(self.similarity, self.index.doc_count, df_count)
+        weight = scoring.term_weight(self.similarity, boost, idf)
+        avg_len = self.index.avg_len(fld)
+
+        def build(qn):
+            decoded = self.index.decoded(fld, [term])
+            return decoded.select(
+                "docid",
+                scoring.term_score_col(
+                    self.similarity,
+                    F.col("tf"),
+                    F.col("length"),
+                    idf,
+                    boost,
+                    qn,
+                    avg_len,
+                ).alias("score"),
+            )
+
+        return _Plan(weight, build)
+
+    def _plan_multi_term(
+        self, fld: str, terms_df: List[Tuple[str, int]], boost: float
+    ) -> _Plan:
+        """Expanded dictionary terms -> disjunction of term searchers
+        (ref: searcher/search_multi_term.go)."""
+        if not terms_df:
+            return _Plan(0.0, lambda qn: self._empty())
+        n = self.index.doc_count
+        avg_len = self.index.avg_len(fld)
+        term_idf = {
+            t: scoring.idf(self.similarity, n, df) for t, df in terms_df
+        }
+        weight = sum(
+            scoring.term_weight(self.similarity, boost, i)
+            for i in term_idf.values()
+        )
+        total = len(terms_df)
+
+        def build(qn):
+            decoded = self.index.decoded(fld, [t for t, _ in terms_df])
+            idf_map = F.create_map(
+                *[x for t, i in term_idf.items() for x in (F.lit(t), F.lit(i))]
+            )
+            idf_col = idf_map[F.col("term")]
+            per_term = decoded.select(
+                "docid",
+                self._score_col_dynamic_idf(
+                    F.col("tf"), F.col("length"), idf_col, boost, qn, avg_len
+                ).alias("score"),
+            )
+            agg = per_term.groupBy("docid").agg(
+                F.sum("score").alias("sum_score"),
+                F.count("*").alias("nmatch"),
+            )
+            score = F.col("sum_score")
+            if self.similarity == scoring.TFIDF:
+                # disjunction coord (ref: scorer/scorer_disjunction.go:65-66)
+                score = score * F.col("nmatch") / F.lit(total)
+            return agg.select("docid", score.alias("score"))
+
+        return _Plan(weight, build, n_leaves=len(terms_df))
+
+    def _score_col_dynamic_idf(
+        self, tf_col, len_col, idf_col: Column, boost, qn, avg_len
+    ) -> Column:
+        """term_score_col variant where idf is a per-row column (multi-term
+        expansions score each expanded term with its own idf)."""
+        if self.similarity == scoring.TFIDF:
+            norm = (
+                (F.lit(1.0) / F.sqrt(F.greatest(len_col, F.lit(1))))
+                .cast("float")
+                .cast("double")
+            )
+            score = F.sqrt(tf_col.cast("double")) * norm * idf_col
+            if qn is not None:
+                score = score * F.lit(boost) * idf_col * F.lit(qn)
+            return score
+        tf_d = tf_col.cast("double")
+        denom = tf_d + F.lit(scoring.BM25_K1) * (
+            F.lit(1.0 - scoring.BM25_B)
+            + F.lit(scoring.BM25_B)
+            * len_col.cast("double")
+            / F.lit(max(avg_len, 1e-9))
+        )
+        return (
+            F.lit(boost) * idf_col * tf_d * F.lit(scoring.BM25_K1 + 1.0) / denom
+        )
+
+    def _plan_const(self, docids_df: DataFrame, boost: float) -> _Plan:
+        """Constant scorer (ref: scorer/scorer_constant.go)."""
+
+        def build(qn):
+            score = float(boost) * (qn if qn is not None else 1.0)
+            return docids_df.select("docid", F.lit(score).alias("score"))
+
+        # constant scorer weight = boost^2 (ref: scorer_constant.go)
+        w = boost * boost if self.similarity == scoring.TFIDF else 0.0
+        return _Plan(w, build)
+
+    # -- composite planners ---------------------------------------------
+
+    def _plan_conjunction(self, children: List[_Plan]) -> _Plan:
+        children = [c for c in children]
+        weight = sum(c.weight for c in children)
+
+        def build(qn):
+            dfs = [c.df(qn) for c in children]
+            out = dfs[0].select("docid", F.col("score").alias("s0"))
+            for i, d in enumerate(dfs[1:], 1):
+                out = out.join(
+                    d.select("docid", F.col("score").alias(f"s{i}")), "docid"
+                )
+            total = sum(F.col(f"s{i}") for i in range(len(dfs)))
+            return out.select("docid", total.alias("score"))
+
+        return _Plan(weight, build, sum(c.n_leaves for c in children))
+
+    def _plan_disjunction(self, children: List[_Plan], min_match: int) -> _Plan:
+        weight = sum(c.weight for c in children)
+        total = len(children)
+        min_match = max(min_match, 1)
+
+        def build(qn):
+            parts = [c.df(qn) for c in children]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = u.groupBy("docid").agg(
+                F.sum("score").alias("sum_score"), F.count("*").alias("nmatch")
+            )
+            score = F.col("sum_score")
+            if self.similarity == scoring.TFIDF:
+                score = score * F.col("nmatch") / F.lit(total)
+            out = agg
+            if min_match > 1:
+                out = out.where(F.col("nmatch") >= min_match)
+            return out.select("docid", score.alias("score"))
+
+        return _Plan(weight, build, sum(c.n_leaves for c in children))
+
+    def _plan_boolean(
+        self,
+        must: List[_Plan],
+        should: List[_Plan],
+        must_not: List[_Plan],
+        min_should: int,
+    ) -> _Plan:
+        """ref: searcher/search_boolean.go:37-330."""
+        weight = sum(c.weight for c in must) + sum(c.weight for c in should)
+
+        def build(qn):
+            base = None
+            if must:
+                base = self._plan_conjunction(must).df(qn)
+            should_df = None
+            if should:
+                should_df = self._plan_disjunction(should, min_should).df(qn)
+            if base is None:
+                base = should_df
+                should_df = None
+            if base is None:
+                return self._empty()
+            if should_df is not None:
+                base = (
+                    base.join(
+                        should_df.select(
+                            "docid", F.col("score").alias("_should_score")
+                        ),
+                        "docid",
+                        "left",
+                    )
+                    .withColumn(
+                        "score",
+                        F.col("score")
+                        + F.coalesce(F.col("_should_score"), F.lit(0.0)),
+                    )
+                    .drop("_should_score")
+                )
+            for mn in must_not:
+                base = base.join(
+                    mn.df(None).select("docid"), "docid", "left_anti"
+                )
+            return base
+
+        return _Plan(
+            weight,
+            build,
+            sum(c.n_leaves for c in must) + sum(c.n_leaves for c in should),
+        )
+
+    def _plan_phrase(
+        self,
+        fld: str,
+        slot_terms: List[Tuple[str, int]],
+        boost: float,
+        slop: int,
+    ) -> _Plan:
+        """Phrase = conjunction of unique-term scorers + position-chain
+        check (ref: searcher/search_phrase.go:35-440). slot_terms is
+        [(term, analyzed_position)] — stop-filter position gaps carry
+        through as larger deltas."""
+        uniq = list(dict.fromkeys(t for t, _ in slot_terms))
+        stats = self.index.term_stats(fld, uniq)
+        if len(stats) < len(uniq):
+            return _Plan(0.0, lambda qn: self._empty())
+        n = self.index.doc_count
+        avg_len = self.index.avg_len(fld)
+        term_idf = {t: scoring.idf(self.similarity, n, stats[t][0]) for t in uniq}
+        weight = sum(
+            scoring.term_weight(self.similarity, boost, i)
+            for i in term_idf.values()
+        )
+        deltas = [
+            slot_terms[i][1] - slot_terms[i - 1][1]
+            for i in range(1, len(slot_terms))
+        ]
+        nslots = len(slot_terms)
+
+        def build(qn):
+            decoded = self.index.decoded(fld, uniq, need_positions=True)
+            # fan decoded term rows out to their phrase slots
+            slot_map = {}
+            for i, (t, _p) in enumerate(slot_terms):
+                slot_map.setdefault(t, []).append(i)
+            slot_entries = [
+                (t, i) for t, slots in slot_map.items() for i in slots
+            ]
+            slot_df = self.index.spark.createDataFrame(
+                pd.DataFrame(slot_entries, columns=["term", "slot"])
+            )
+            parts = decoded.join(F.broadcast(slot_df), "term")
+            g = parts.groupBy("docid").agg(
+                F.collect_list(F.struct("slot", "positions")).alias("slots"),
+                F.count("*").alias("nrows"),
+            ).where(F.col("nrows") >= nslots)
+
+            @F.pandas_udf(T.BooleanType())
+            def phrase_match(slots_col: pd.Series) -> pd.Series:
+                def check(slots):
+                    pos_by_slot = {}
+                    for s in slots:
+                        pos_by_slot[s["slot"]] = list(s["positions"])
+                    if len(pos_by_slot) < nslots:
+                        return False
+                    # iterative chain intersection (exact) / DFS (slop)
+                    if slop == 0:
+                        cur = set(pos_by_slot[0])
+                        for i, d in enumerate(deltas, 1):
+                            cur = {p + d for p in cur} & set(pos_by_slot[i])
+                            if not cur:
+                                return False
+                        return True
+
+                    def dfs(slot_i, prev_pos, budget):
+                        if slot_i == nslots:
+                            return True
+                        want = prev_pos + deltas[slot_i - 1]
+                        for p in pos_by_slot[slot_i]:
+                            dev = abs(p - want)
+                            if p > prev_pos and dev <= budget and dfs(
+                                slot_i + 1, p, budget - dev
+                            ):
+                                return True
+                        return False
+
+                    return any(
+                        dfs(1, p0, slop) for p0 in pos_by_slot[0]
+                    )
+
+                return slots_col.map(check)
+
+            matched = g.where(phrase_match(F.col("slots"))).select("docid")
+            # conjunction-style score over unique terms
+            idf_map = F.create_map(
+                *[x for t, i in term_idf.items() for x in (F.lit(t), F.lit(i))]
+            )
+            scores = (
+                decoded.dropDuplicates(["docid", "term"])
+                .select(
+                    "docid",
+                    self._score_col_dynamic_idf(
+                        F.col("tf"),
+                        F.col("length"),
+                        idf_map[F.col("term")],
+                        boost,
+                        qn,
+                        avg_len,
+                    ).alias("s"),
+                )
+                .groupBy("docid")
+                .agg(F.sum("s").alias("score"))
+            )
+            return matched.join(scores, "docid").select("docid", "score")
+
+        return _Plan(weight, build, n_leaves=len(uniq))
+
+    # -- query dispatch --------------------------------------------------
+
+    def plan(self, q: Q.Query) -> _Plan:
+        fld = q.field or self.default_field()
+        b = q.boost
+        if isinstance(q, Q.TermQuery):
+            return self._plan_term(fld, q.term, b)
+        if isinstance(q, Q.MatchQuery):
+            analyzer = get_analyzer(self._analyzer_for(fld, q.analyzer))
+            tokens = analyzer.analyze(q.text)
+            if not tokens:
+                return _Plan(0.0, lambda qn: self._empty())
+            if q.fuzziness > 0:
+                children = [
+                    self._plan_fuzzy(fld, t[0], q.fuzziness, q.prefix_length, b)
+                    for t in tokens
+                ]
+            else:
+                children = [self._plan_term(fld, t[0], b) for t in tokens]
+            if len(children) == 1:
+                return children[0]
+            if q.operator == "and":
+                return self._plan_conjunction(children)
+            return self._plan_disjunction(children, 1)
+        if isinstance(q, Q.MatchPhraseQuery):
+            analyzer = get_analyzer(self._analyzer_for(fld, q.analyzer))
+            tokens = analyzer.analyze(q.text)
+            if not tokens:
+                return _Plan(0.0, lambda qn: self._empty())
+            slot_terms = [(t[0], t[1]) for t in tokens]
+            return self._plan_phrase(fld, slot_terms, b, q.slop)
+        if isinstance(q, Q.PhraseQuery):
+            slot_terms = [(t, i + 1) for i, t in enumerate(q.terms)]
+            return self._plan_phrase(fld, slot_terms, b, q.slop)
+        if isinstance(q, Q.PrefixQuery):
+            terms = self.index.expand_terms(
+                fld, F.col("term").startswith(q.prefix)
+            )
+            return self._plan_multi_term(fld, terms, b)
+        if isinstance(q, Q.WildcardQuery):
+            regex = _wildcard_to_regex(q.wildcard)
+            terms = self.index.expand_terms(fld, F.col("term").rlike(regex))
+            return self._plan_multi_term(fld, terms, b)
+        if isinstance(q, Q.RegexpQuery):
+            terms = self.index.expand_terms(
+                fld, F.col("term").rlike(f"^(?:{q.regexp})$")
+            )
+            return self._plan_multi_term(fld, terms, b)
+        if isinstance(q, Q.FuzzyQuery):
+            return self._plan_fuzzy(fld, q.term, q.fuzziness, q.prefix_length, b)
+        if isinstance(q, Q.TermRangeQuery):
+            pred = F.lit(True)
+            if q.min is not None:
+                pred = pred & (
+                    F.col("term") >= q.min
+                    if q.inclusive_min
+                    else F.col("term") > q.min
+                )
+            if q.max is not None:
+                pred = pred & (
+                    F.col("term") <= q.max
+                    if q.inclusive_max
+                    else F.col("term") < q.max
+                )
+            return self._plan_multi_term(fld, self.index.expand_terms(fld, pred), b)
+        if isinstance(q, Q.NumericRangeQuery):
+            col = F.col(fld).cast("double")
+            pred = F.lit(True)
+            if q.min is not None:
+                pred = pred & (col >= q.min if q.inclusive_min else col > q.min)
+            if q.max is not None:
+                pred = pred & (col <= q.max if q.inclusive_max else col < q.max)
+            return self._plan_const(
+                self.index.docs.where(pred).select("docid"), b
+            )
+        if isinstance(q, Q.DateRangeQuery):
+            col = F.col(fld).cast("timestamp")
+            pred = F.lit(True)
+            if q.start is not None:
+                s = F.lit(q.start).cast("timestamp")
+                pred = pred & (col >= s if q.inclusive_start else col > s)
+            if q.end is not None:
+                e = F.lit(q.end).cast("timestamp")
+                pred = pred & (col <= e if q.inclusive_end else col < e)
+            return self._plan_const(
+                self.index.docs.where(pred).select("docid"), b
+            )
+        if isinstance(q, Q.BoolFieldQuery):
+            return self._plan_const(
+                self.index.docs.where(
+                    F.col(fld).cast("boolean") == q.value
+                ).select("docid"),
+                b,
+            )
+        if isinstance(q, Q.DocIDQuery):
+            return self._plan_const(
+                self.index.docs.where(F.col("_id").isin(list(q.ids))).select(
+                    "docid"
+                ),
+                b,
+            )
+        if isinstance(q, Q.MatchAllQuery):
+            return self._plan_const(self.index.docs.select("docid"), b)
+        if isinstance(q, Q.MatchNoneQuery):
+            return _Plan(0.0, lambda qn: self._empty())
+        if isinstance(q, Q.ConjunctionQuery):
+            return self._plan_conjunction([self.plan(c) for c in q.conjuncts])
+        if isinstance(q, Q.DisjunctionQuery):
+            return self._plan_disjunction(
+                [self.plan(c) for c in q.disjuncts], q.min
+            )
+        if isinstance(q, Q.BooleanQuery):
+            return self._plan_boolean(
+                [self.plan(c) for c in q.must],
+                [self.plan(c) for c in q.should],
+                [self.plan(c) for c in q.must_not],
+                q.min_should,
+            )
+        raise NotImplementedError(type(q).__name__)
+
+    def _plan_fuzzy(
+        self, fld: str, term: str, fuzziness: int, prefix_len: int, boost: float
+    ) -> _Plan:
+        """Dictionary scan with bounded edit distance
+        (ref: searcher/search_fuzzy.go:25-140); F.levenshtein is the
+        built-in DP."""
+        pred = F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness
+        if prefix_len > 0:
+            pred = pred & F.col("term").startswith(term[:prefix_len])
+        return self._plan_multi_term(fld, self.index.expand_terms(fld, pred), boost)
+
+    # -- execution -------------------------------------------------------
+
+    def matches(self, q: Q.Query) -> DataFrame:
+        """DataFrame(docid, score) for a query. Composites push queryNorm
+        to leaves (ref: search_conjunction.go:108-120); a bare leaf query
+        scores without queryNorm, exactly like the reference."""
+        plan = self.plan(q)
+        qn = None
+        if (
+            self.similarity == scoring.TFIDF
+            and isinstance(
+                q,
+                (
+                    Q.ConjunctionQuery,
+                    Q.DisjunctionQuery,
+                    Q.BooleanQuery,
+                    Q.MatchQuery,
+                    Q.MatchPhraseQuery,
+                    Q.PhraseQuery,
+                ),
+            )
+            and plan.weight > 0
+        ):
+            qn = 1.0 / math.sqrt(plan.weight)
+        return plan.df(qn)
+
+    def search(self, req: SearchRequest) -> SearchResult:
+        self.similarity = req.similarity
+        scored = self.matches(req.query)
+        hits = scored.join(self.index.docs, "docid")
+
+        sort_cols = []
+        for s in req.sort:
+            desc = s.startswith("-")
+            name = s.lstrip("+-")
+            col = (
+                F.col("score")
+                if name == "_score"
+                else F.col("_id")
+                if name == "_id"
+                else F.col(name)
+            )
+            sort_cols.append(
+                col.desc_nulls_last() if desc else col.asc_nulls_last()
+            )
+
+        out_cols = ["docid", "_id", F.col("score").alias("score")] + [
+            c for c in req.fields
+        ]
+        # global top-k: TakeOrderedAndProject (per-partition top-k + driver
+        # merge — the collector/MultiSearch-merge analogue)
+        page = hits.orderBy(*sort_cols).limit(req.from_ + req.size)
+        if req.from_ > 0:
+            # offset paging over the tiny top-(from+size) set
+            from pyspark.sql import Window
+
+            page = (
+                page.withColumn(
+                    "_rn", F.row_number().over(Window.orderBy(*sort_cols))
+                )
+                .where(F.col("_rn") > req.from_)
+                .drop("_rn")
+            )
+        page = page.select(*out_cols)
+
+        facets = {}
+        for name, freq in req.facets.items():
+            facets[name] = self._facet(hits, freq)
+        return SearchResult(hits=page, facets=facets)
+
+    def _facet(self, hits: DataFrame, freq: FacetRequest) -> DataFrame:
+        """Terms / numeric-range / date-range facets
+        (ref: facet/facet_builder_{terms,numeric,datetime}.go)."""
+        if freq.numeric_ranges:
+            col = F.col(freq.field).cast("double")
+            bucket = F.lit(None).cast("string")
+            for r in reversed(freq.numeric_ranges):
+                cond = F.lit(True)
+                if r.get("min") is not None:
+                    cond = cond & (col >= r["min"])
+                if r.get("max") is not None:
+                    cond = cond & (col < r["max"])
+                bucket = F.when(cond, r["name"]).otherwise(bucket)
+            return (
+                hits.select(bucket.alias("range"))
+                .where(F.col("range").isNotNull())
+                .groupBy("range")
+                .agg(F.count("*").alias("count"))
+                .orderBy(F.desc("count"), "range")
+            )
+        if freq.date_ranges:
+            col = F.col(freq.field).cast("timestamp")
+            bucket = F.lit(None).cast("string")
+            for r in reversed(freq.date_ranges):
+                cond = F.lit(True)
+                if r.get("start") is not None:
+                    cond = cond & (col >= F.lit(r["start"]).cast("timestamp"))
+                if r.get("end") is not None:
+                    cond = cond & (col < F.lit(r["end"]).cast("timestamp"))
+                bucket = F.when(cond, r["name"]).otherwise(bucket)
+            return (
+                hits.select(bucket.alias("range"))
+                .where(F.col("range").isNotNull())
+                .groupBy("range")
+                .agg(F.count("*").alias("count"))
+                .orderBy(F.desc("count"), "range")
+            )
+        return (
+            hits.groupBy(F.col(freq.field).alias("term"))
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), "term")
+            .limit(freq.size)
+        )
+
+
+def _wildcard_to_regex(w: str) -> str:
+    """ref: query/wildcard.go:24-44."""
+    out = []
+    for ch in w:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in ".+()[]{}^$|\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + "$"
