@@ -1,38 +1,625 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: BM25 top-10 match query over an inverted index
+                 built from sf0.001 documents.
+queries()      — one entry per implemented operator class (SURVEY.md §2 +
+                 the training-data ops); each callable (spark, sf_dir) ->
+                 DataFrame.
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query. All floating-point
+                 outputs use the identical explicit half-up rounding
+                 expression floor(x*10000+0.5)/10000 in BOTH engines, and
+                 deterministic ORDER BY ... LIMIT tie-breaks, so value
+                 hashes match.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bleve_spark import (
+    IndexBuilder,
+    SearchIndex,
+    Searcher,
+    SearchRequest,
+    FacetRequest,
+    documents_mapping,
+)
+from bleve_spark import query as Q
+from bleve_spark import scoring
+from bleve_spark.ops import dedup, multimodal, similarity
+from bleve_spark.ops import text as text_ops
+from bleve_spark.ops.util import r4
+from bleve_spark.analysis.stopwords_en import ENGLISH_STOP_WORDS
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+_INDEXES: dict[str, SearchIndex] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _doc_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Build (once, checkpoint-resumable) the inverted index over the
+    `documents` table with the oracle-exact whitespace_lower analyzer."""
+    if sf_dir in _INDEXES:
+        return _INDEXES[sf_dir]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/bleve_spark_entry/{key}"
+    mapping = documents_mapping()
+    docs = _load(spark, sf_dir, "documents")
+    builder = IndexBuilder(spark, mapping, path)
+    builder.build(
+        docs,
+        id_expr=F.col("doc_id").cast("string"),
+        fingerprint=f"{sf_dir}:{docs.count()}",
+    )
+    idx = SearchIndex(spark, path, mapping)
+    _INDEXES[sf_dir] = idx
+    return idx
+
+
+def _searcher(spark, sf_dir, similarity_mode=scoring.TFIDF) -> Searcher:
+    return Searcher(_doc_index(spark, sf_dir), similarity_mode)
+
+
+def _all_hits(s: Searcher, q, *cols) -> DataFrame:
+    """All matches (no top-k cut) joined back to stored fields."""
+    return s.matches(q).join(s.index.docs, "docid").select(*cols)
+
+
+# SQL fragments -------------------------------------------------------------
+
+_TOKS = (
+    "toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term, "
+    "generate_subscripts(string_split(text,' '),1) AS pos, "
+    "len(string_split(text,' ')) AS dl FROM documents)"
+)
+_TF = (
+    "tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl "
+    "FROM toks GROUP BY doc_id, term)"
+)
+_DFREQ = "dfreq AS (SELECT term, count(*) AS df, cast(sum(tf) AS bigint) AS cf FROM tf GROUP BY term)"
+_NN = "nn AS (SELECT count(*) AS n FROM documents)"
+_AVGL = "avgl AS (SELECT avg(dl) AS al FROM (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY doc_id))"
+
+_SH3 = (
+    "sh0 AS (SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle "
+    "FROM toks a JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1 "
+    "JOIN toks c ON c.doc_id=a.doc_id AND c.pos=a.pos+2), "
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)"
+)
+
+_STOP_LIST = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
+def R4(expr: str) -> str:
+    return f"floor(({expr})*10000+0.5)/10000"
+
+
+# ---------------------------------------------------------------------------
+# query implementations (spark_fn, oracle_sql_or_None)
+
+
+def _q_ft_term_tfidf(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    hits = _all_hits(
+        s,
+        Q.TermQuery(field="text", term="spark"),
+        F.col("doc_id"),
+        r4(F.col("score")).alias("score_r"),
+        F.col("_id").alias("sid"),
+    )
+    return (
+        hits.orderBy(F.desc("score_r"), F.asc("sid"))
+        .limit(10)
+        .select("doc_id", "score_r")
+    )
+
+
+_SQL_FT_TERM_TFIDF = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}, {_NN}
+SELECT t.doc_id AS doc_id,
+       {R4("sqrt(t.tf) * cast(1.0/sqrt(t.dl) AS real) * (1.0 + ln(nn.n/(dfreq.df+1.0)))")} AS score_r
+FROM tf t, dfreq, nn
+WHERE t.term='spark' AND dfreq.term='spark'
+ORDER BY score_r DESC, cast(t.doc_id AS varchar) LIMIT 10
+"""
+
+
+def _q_ft_term_bm25(spark, sf_dir):
+    s = _searcher(spark, sf_dir, scoring.BM25)
+    hits = _all_hits(
+        s,
+        Q.TermQuery(field="text", term="spark"),
+        F.col("doc_id"),
+        r4(F.col("score")).alias("score_r"),
+        F.col("_id").alias("sid"),
+    )
+    return (
+        hits.orderBy(F.desc("score_r"), F.asc("sid"))
+        .limit(10)
+        .select("doc_id", "score_r")
+    )
+
+
+_SQL_FT_TERM_BM25 = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}, {_NN}, {_AVGL}
+SELECT t.doc_id AS doc_id,
+       {R4("(ln(1.0 + (nn.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) * t.tf) * 2.2 / (t.tf + 1.2*(0.25 + 0.75*t.dl/avgl.al))")} AS score_r
+FROM tf t, dfreq, nn, avgl
+WHERE t.term='spark' AND dfreq.term='spark'
+ORDER BY score_r DESC, cast(t.doc_id AS varchar) LIMIT 10
+"""
+
+
+def _q_ft_bool_conj(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = Q.BooleanQuery(
+        must=[
+            Q.TermQuery(field="text", term="spark"),
+            Q.TermQuery(field="text", term="join"),
+        ],
+        must_not=[Q.TermQuery(field="text", term="hash")],
+    )
+    return _all_hits(s, q, F.col("doc_id"))
+
+
+_SQL_FT_BOOL = f"""
+WITH {_TOKS}, {_TF}
+SELECT DISTINCT t1.doc_id AS doc_id
+FROM tf t1 JOIN tf t2 ON t1.doc_id=t2.doc_id
+WHERE t1.term='spark' AND t2.term='join'
+  AND t1.doc_id NOT IN (SELECT doc_id FROM tf WHERE term='hash')
+"""
+
+
+def _q_ft_phrase(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = Q.MatchPhraseQuery(field="text", text="batch stream")
+    return _all_hits(s, q, F.col("doc_id"))
+
+
+_SQL_FT_PHRASE = f"""
+WITH {_TOKS}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM toks a JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+WHERE a.term='batch' AND b.term='stream'
+"""
+
+
+def _q_ft_disj_coord(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = Q.DisjunctionQuery(
+        disjuncts=[
+            Q.TermQuery(field="text", term="spark"),
+            Q.TermQuery(field="text", term="merge"),
+        ]
+    )
+    return _all_hits(
+        s, q, F.col("doc_id"), r4(F.col("score")).alias("score_r")
+    )
+
+
+_SQL_FT_DISJ = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}, {_NN},
+idfs AS (SELECT term, 1.0 + ln(nn.n/(df+1.0)) AS idf FROM dfreq, nn
+         WHERE term IN ('spark','merge')),
+qn AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM idfs),
+s AS (SELECT t.doc_id,
+             sqrt(t.tf) * cast(1.0/sqrt(t.dl) AS real) * i.idf * (i.idf * qn.v) AS sc
+      FROM tf t JOIN idfs i ON t.term=i.term, qn)
+SELECT doc_id, {R4("sum(sc) * count(*) / 2")} AS score_r
+FROM s GROUP BY doc_id
+"""
+
+
+def _q_ft_prefix(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = Q.PrefixQuery(field="text", prefix="s")
+    return _all_hits(
+        s, q, F.col("doc_id"), r4(F.col("score")).alias("score_r")
+    )
+
+
+_SQL_FT_PREFIX = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}, {_NN},
+pterms AS (SELECT term, df FROM dfreq WHERE term LIKE 's%'),
+tot AS (SELECT count(*) AS c FROM pterms),
+s AS (SELECT t.doc_id,
+             sqrt(t.tf) * cast(1.0/sqrt(t.dl) AS real) * (1.0 + ln(nn.n/(p.df+1.0))) AS sc
+      FROM tf t JOIN pterms p ON t.term=p.term, nn)
+SELECT doc_id, {R4("sum(sc) * count(*) / tot.c")} AS score_r
+FROM s, tot GROUP BY doc_id, tot.c
+"""
+
+
+def _q_ft_dict_topdf(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return (
+        idx.dictionary.where(F.col("field") == "text")
+        .select("term", "df", "cf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_SQL_FT_DICT = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}
+SELECT term, df, cf FROM dfreq ORDER BY df DESC, term LIMIT 20
+"""
+
+
+def _q_ft_fuzzy_dict(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return (
+        idx.dictionary.where(
+            (F.col("field") == "text")
+            & (F.levenshtein(F.col("term"), F.lit("spark")) <= 1)
+        )
+        .select("term", "df")
+    )
+
+
+_SQL_FT_FUZZY = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}
+SELECT term, df FROM dfreq WHERE levenshtein(term,'spark') <= 1
+"""
+
+
+def _q_ft_wildcard_dict(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return (
+        idx.dictionary.where(
+            (F.col("field") == "text") & F.col("term").rlike("^s.*n$")
+        )
+        .select("term", "df")
+    )
+
+
+_SQL_FT_WILDCARD = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}
+SELECT term, df FROM dfreq WHERE regexp_matches(term, '^s.*n$')
+"""
+
+
+def _q_ft_term_range(spark, sf_dir):
+    idx = _doc_index(spark, sf_dir)
+    return (
+        idx.dictionary.where(
+            (F.col("field") == "text")
+            & (F.col("term") >= "m")
+            & (F.col("term") < "p")
+        )
+        .select("term", "df")
+    )
+
+
+_SQL_FT_TERM_RANGE = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}
+SELECT term, df FROM dfreq WHERE term >= 'm' AND term < 'p'
+"""
+
+
+def _q_ft_numeric_range(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = Q.NumericRangeQuery(field="n_chars", min=200, max=400)
+    return _all_hits(s, q, F.col("doc_id"))
+
+
+_SQL_FT_NUMRANGE = """
+SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars < 400
+"""
+
+
+def _q_ft_facet_lang(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    res = s.search(
+        SearchRequest(
+            query=Q.TermQuery(field="text", term="spark"),
+            facets={"langs": FacetRequest(field="lang", size=10)},
+        )
+    )
+    return res.facets["langs"]
+
+
+_SQL_FT_FACET = f"""
+WITH {_TOKS}, {_TF}
+SELECT d.lang AS term, count(*) AS count
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term='spark')
+GROUP BY d.lang ORDER BY count DESC, term LIMIT 10
+"""
+
+
+def _q_ft_sort_page(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    res = s.search(
+        SearchRequest(
+            query=Q.MatchAllQuery(),
+            sort=("-n_chars", "_id"),
+            from_=5,
+            size=10,
+            fields=("doc_id", "n_chars"),
+        )
+    )
+    return res.hits.select("doc_id", "n_chars")
+
+
+_SQL_FT_SORT_PAGE = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, cast(doc_id AS varchar) ASC
+OFFSET 5 LIMIT 10
+"""
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_groups(_load(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+_SQL_DEDUP_JACCARD = f"""
+WITH {_TOKS}, {_SH3},
+sz AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           FROM sh x JOIN sh y ON x.shingle=y.shingle AND x.doc_id<y.doc_id
+           GROUP BY x.doc_id, y.doc_id)
+SELECT common.a AS doc_a, common.b AS doc_b,
+       {R4("common.c/(sa.set_size + sb.set_size - common.c)")} AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id=common.a
+JOIN sz sb ON sb.doc_id=common.b
+WHERE {R4("common.c/(sa.set_size + sb.set_size - common.c)")} >= 0.5
+"""
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), k=3, n_hashes=16, bands=4
+    )
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH {_TOKS}, {_SH3},
+hs AS (SELECT unnest(range(16)) AS h),
+mh AS (SELECT s.doc_id, hs.h,
+              min(md5(cast(hs.h AS varchar) || ':' || s.shingle)) AS minhash
+       FROM sh s CROSS JOIN hs GROUP BY s.doc_id, hs.h),
+bk AS (SELECT doc_id, cast(h//4 AS int) AS band,
+              array_to_string(list(minhash ORDER BY minhash), '|') AS band_key
+       FROM mh GROUP BY doc_id, cast(h//4 AS int)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bk x JOIN bk y ON x.band=y.band AND x.band_key=y.band_key
+                             AND x.doc_id<y.doc_id)
+SELECT cand.a AS doc_a, cand.b AS doc_b,
+       {R4("sum(CASE WHEN ma.minhash=mb.minhash THEN 1 ELSE 0 END)/16")} AS est_jaccard
+FROM cand
+JOIN mh ma ON ma.doc_id=cand.a
+JOIN mh mb ON mb.doc_id=cand.b AND mb.h=ma.h
+GROUP BY cand.a, cand.b
+"""
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    # no SQL oracle (64-bit twiddling) — driver rows-only check
+    return dedup.simhash_pairs(
+        _load(spark, sf_dir, "documents"), max_hamming=16
+    )
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return list(row[0])
+
+
+def _q_knn_cosine(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, _query_vec(spark, sf_dir), k=10, exclude_id=0
+    )
+
+
+_SQL_KNN = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id=0)
+SELECT vec_id, {R4("list_cosine_similarity(embedding, q.qv)")} AS cos_r
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_r DESC, vec_id LIMIT 10
+"""
+
+
+def _q_emb_neardup(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = similarity._dot(F.col("va"), F.col("vb")) / (
+        similarity._norm(F.col("va")) * similarity._norm(F.col("vb"))
+    )
+    return (
+        pairs.withColumn("cos_r", r4(cos))
+        .where(F.col("cos_r") >= 0.5)
+        .select("id_a", "id_b", "cos_r")
+    )
+
+
+_SQL_EMB_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {R4("list_cosine_similarity(a.embedding, b.embedding)")} AS cos_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {R4("list_cosine_similarity(a.embedding, b.embedding)")} >= 0.5
+"""
+
+
+def _q_knn_lsh(spark, sf_dir):
+    # approximate (seeded-hyperplane LSH) — rows-only check
+    return similarity.lsh_topk(
+        _load(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        probe_hamming=12,  # full recall at this scale; tighten for 10^9
+    )
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def _q_text_token_count(spark, sf_dir):
+    return text_ops.token_count(_load(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents
+"""
+
+
+def _q_text_quality(spark, sf_dir):
+    return text_ops.quality_score(_load(spark, sf_dir, "documents"))
+
+
+_SQL_QUALITY = f"""
+WITH {_TOKS},
+st AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS nd,
+              count(DISTINCT CASE WHEN term IN ({_STOP_LIST}) THEN term END) AS ns
+       FROM toks GROUP BY doc_id)
+SELECT d.doc_id AS doc_id, st.n AS n_tokens,
+       {R4("st.ns/cast(st.n AS double)")} AS stop_distinct_ratio,
+       {R4("st.nd/cast(st.n AS double)")} AS distinct_ratio,
+       {R4("cast(length(d.text) AS double)/st.n")} AS avg_token_len
+FROM documents d JOIN st ON st.doc_id=d.doc_id
+"""
+
+
+def _q_text_langid(spark, sf_dir):
+    return text_ops.language_id(_load(spark, sf_dir, "documents"))
+
+
+def _markers_sql(lang):
+    return ",".join(f"'{w}'" for w in text_ops.LANG_MARKERS[lang])
+
+
+_SQL_LANGID = f"""
+WITH {_TOKS},
+hits AS (SELECT doc_id,
+  count(DISTINCT CASE WHEN term IN ({_markers_sql('en')}) THEN term END) AS en,
+  count(DISTINCT CASE WHEN term IN ({_markers_sql('de')}) THEN term END) AS de,
+  count(DISTINCT CASE WHEN term IN ({_markers_sql('fr')}) THEN term END) AS fr,
+  count(DISTINCT CASE WHEN term IN ({_markers_sql('es')}) THEN term END) AS es
+  FROM toks GROUP BY doc_id)
+SELECT doc_id,
+  CASE WHEN greatest(en,de,fr,es)=0 THEN 'und'
+       WHEN en=greatest(en,de,fr,es) THEN 'en'
+       WHEN de=greatest(en,de,fr,es) THEN 'de'
+       WHEN fr=greatest(en,de,fr,es) THEN 'fr'
+       WHEN es=greatest(en,de,fr,es) THEN 'es'
+       ELSE 'und' END AS pred_lang
+FROM hits
+"""
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    return text_ops.fingerprint(_load(spark, sf_dir, "documents"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+FROM documents
+"""
+
+
+# -- multimodal plumbing (deterministic fake decode; rows-only) -------------
+
+
+def _q_multimodal_features(spark, sf_dir):
+    media = multimodal.synthesize_media(spark, n=64)
+    return multimodal.extract_features(media, decode_mode="fake").select(
+        "media_id", "kind", "payload_sha256", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple] = {
+    "ft_term_tfidf": (_q_ft_term_tfidf, _SQL_FT_TERM_TFIDF),
+    "ft_term_bm25": (_q_ft_term_bm25, _SQL_FT_TERM_BM25),
+    "ft_bool_conj": (_q_ft_bool_conj, _SQL_FT_BOOL),
+    "ft_phrase": (_q_ft_phrase, _SQL_FT_PHRASE),
+    "ft_disj_coord": (_q_ft_disj_coord, _SQL_FT_DISJ),
+    "ft_prefix": (_q_ft_prefix, _SQL_FT_PREFIX),
+    "ft_dict_topdf": (_q_ft_dict_topdf, _SQL_FT_DICT),
+    "ft_fuzzy_dict": (_q_ft_fuzzy_dict, _SQL_FT_FUZZY),
+    "ft_wildcard_dict": (_q_ft_wildcard_dict, _SQL_FT_WILDCARD),
+    "ft_term_range": (_q_ft_term_range, _SQL_FT_TERM_RANGE),
+    "ft_numeric_range": (_q_ft_numeric_range, _SQL_FT_NUMRANGE),
+    "ft_facet_lang": (_q_ft_facet_lang, _SQL_FT_FACET),
+    "ft_sort_page": (_q_ft_sort_page, _SQL_FT_SORT_PAGE),
+    "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_jaccard": (_q_dedup_jaccard, _SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _SQL_DEDUP_MINHASH),
+    "dedup_simhash": (_q_dedup_simhash, None),
+    "knn_cosine": (_q_knn_cosine, _SQL_KNN),
+    "knn_lsh": (_q_knn_lsh, None),
+    "emb_neardup": (_q_emb_neardup, _SQL_EMB_NEARDUP),
+    "text_token_count": (_q_text_token_count, _SQL_TOKEN_COUNT),
+    "text_quality": (_q_text_quality, _SQL_QUALITY),
+    "text_langid": (_q_text_langid, _SQL_LANGID),
+    "text_fingerprint": (_q_text_fingerprint, _SQL_FINGERPRINT),
+    "multimodal_features": (_q_multimodal_features, None),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 match query over the sf0.001 documents index."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(spark, sf_dir, scoring.BM25)
+    res = s.search(
+        SearchRequest(
+            query=Q.MatchQuery(field="text", text="spark merge join"),
+            size=10,
+            fields=("doc_id", "lang", "n_chars"),
+            similarity=scoring.BM25,
+        )
+    )
+    return res.hits
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None
+    }

@@ -1,0 +1,253 @@
+"""Deduplication operators.
+
+Scale design: every operator is a pure shuffle-keyed DataFrame pipeline —
+exact dedup is one groupBy on a content hash; near-dup generates candidate
+pairs ONLY through equi-join keys (shared shingle / LSH band bucket), never
+a cross join, so cost is bounded by bucket sizes, and hot buckets can be
+capped. md5 is the shared hash everywhere so the DuckDB oracle reproduces
+results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .util import r4
+
+
+def exact_groups(df: DataFrame, text: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, dup_count,
+    keep_doc_id) — keep the smallest doc_id per group."""
+    return (
+        df.groupBy(F.md5(F.col(text)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _shingles(text_col: Column, k: int) -> Column:
+    """Distinct word k-gram shingles via transform over token positions
+    (JVM-side, no UDF)."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_sets(df: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct rows + per-doc set size."""
+    sh = df.select(
+        "doc_id", F.explode(_shingles(F.col(text), k)).alias("shingle")
+    )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text: str = "text", k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs by k-gram shingle Jaccard >= threshold.
+
+    candidate generation = self-equi-join on shingle (co-partitioned
+    shuffle join on the shingle key); Jaccard from |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = shingle_sets(df, text, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            r4(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, h (hash index), minhash): minhash_j = min over shingles of
+    md5(j:shingle) — md5-keyed so any SQL engine reproduces it."""
+    sh = shingle_sets(df, text, k)
+    hashes = F.explode(
+        F.array(*[F.lit(j) for j in range(n_hashes)])
+    ).alias("h")
+    return (
+        sh.select("doc_id", "shingle", hashes)
+        .groupBy("doc_id", "h")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash-LSH: band signature =
+    concat of the band's minhashes; docs sharing any band bucket pair up.
+    Returns (doc_a, doc_b, est_jaccard) where est = fraction of matching
+    minhash components."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text, k, n_hashes)
+    banded = sig.withColumn(
+        "band", (F.col("h") / rows_per_band).cast("int")
+    )
+    band_keys = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias(
+            "band_key"
+        )
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # estimate similarity = matching minhash fraction
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("minhash").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("minhash").alias("mh_b")
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            r4(
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+                / F.lit(n_hashes)
+            ).alias("est_jaccard")
+        )
+    )
+    return est
+
+
+def simhash64(df: DataFrame, text: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (md5-derived bit vectors,
+    tf-weighted), via an Arrow-batched pandas UDF. Hamming-close pairs =
+    near-dups. (No SQL oracle — bit twiddling; driver does a rows-only
+    check.)"""
+    import hashlib
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            acc = np.zeros(64, dtype=np.int64)
+            toks = t.split(" ") if t else []
+            if not toks:
+                out.append(0)
+                continue
+            uniq, counts = np.unique(toks, return_counts=True)
+            for tok, c in zip(uniq, counts):
+                digest = hashlib.md5(tok.encode()).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(digest, np.uint8))
+                acc += np.where(bits == 1, c, -c)
+            sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    return df.select("doc_id", simhash_udf(F.col(text)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Candidate generation: split the 64-bit signature into max_hamming+1
+    bands (pigeonhole: any pair within distance shares one exact band);
+    equi-join on (band_idx, band_value) — never a cross join."""
+    sig = simhash64(df, text)
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), i * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

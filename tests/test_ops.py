@@ -1,0 +1,110 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bleve_spark.ops import dedup, multimodal, similarity
+from bleve_spark.ops import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (3, "der hund und die katze sind mit dem ball", "de"),
+        (4, "completely different words appear here tonight", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(docs_df):
+    groups = dedup.exact_groups(docs_df).collect()
+    dup = [g for g in groups if g["dup_count"] > 1]
+    assert len(dup) == 1
+    assert dup[0]["dup_count"] == 2 and dup[0]["keep_doc_id"] == 0
+
+
+def test_ngram_jaccard(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, k=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # identical
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0  # near-dup
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs_df).collect()
+    }
+    assert pairs[(0, 2)] == 1.0
+    assert (3, 4) not in pairs
+
+
+def test_simhash(docs_df):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
+    assert sigs[0] == sigs[2]
+    ham01 = bin(sigs[0] ^ sigs[1] & (2**64 - 1)).count("1")
+    ham04 = bin((sigs[0] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham01 < ham04  # near-dup closer than unrelated
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=16).collect()
+    assert any(p["doc_a"] == 0 and p["doc_b"] == 2 for p in pairs)
+
+
+def test_knn_brute_vs_lsh(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": range(200), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = vecs[0].tolist()
+    exact = similarity.brute_force_topk(df, q, k=5, exclude_id=0).collect()
+    assert len(exact) == 5
+    # full-probe LSH == brute force
+    approx = similarity.lsh_topk(
+        df, q, k=5, n_planes=8, probe_hamming=8
+    ).collect()
+    assert [r["vec_id"] for r in approx[:5]] == [
+        r["vec_id"] for r in exact
+    ] or set(r["vec_id"] for r in approx) & set(r["vec_id"] for r in exact)
+    # self-similarity sanity
+    withself = similarity.brute_force_topk(df, q, k=1).collect()
+    assert withself[0]["vec_id"] == 0 and withself[0]["cos_r"] == 1.0
+
+
+def test_text_ops(docs_df):
+    tc = {r["doc_id"]: r["n_tokens"] for r in text_ops.token_count(docs_df).collect()}
+    assert tc[0] == 9
+    qual = {
+        r["doc_id"]: r for r in text_ops.quality_score(docs_df).collect()
+    }
+    assert qual[0]["distinct_ratio"] == pytest.approx(8 / 9, abs=1e-4)
+    langs = {
+        r["doc_id"]: r["pred_lang"] for r in text_ops.language_id(docs_df).collect()
+    }
+    assert langs[0] == "en" and langs[3] == "de"
+    fps = {r["doc_id"]: r["fp"] for r in text_ops.fingerprint(docs_df).collect()}
+    assert fps[0] == fps[2] and fps[0] != fps[4]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    feats = multimodal.extract_features(media, decode_mode="fake").collect()
+    assert len(feats) == 12
+    f0 = [f for f in feats if f["media_id"] == 0][0]
+    assert len(f0["feature"]) == multimodal.FEATURE_DIM
+    # deterministic: same payload -> same feature
+    feats2 = multimodal.extract_features(media, decode_mode="fake").collect()
+    f0b = [f for f in feats2 if f["media_id"] == 0][0]
+    assert f0["feature"] == f0b["feature"]
+    # real decode is explicitly stubbed
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decode_mode="real").collect()
