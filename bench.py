@@ -1,0 +1,187 @@
+"""Benchmark driver.
+
+Measures (per BASELINE.md protocol):
+1. Index-build throughput (docs/sec) on the synthetic source-code corpus
+   (FIXTURES.md F1) at TWO parallelism levels — local[N_LOW] vs
+   local[N_HIGH] — the sandbox stand-in for N vs 4N executors; reports
+   scaling efficiency = tput_high / ((high/low) * tput_low).
+2. Query latencies over the reference query set (term exact/hot, phrase,
+   boolean-conjunction, match top-k in TF-IDF parity mode and BM25 mode)
+   plus the training-data ops (minhash dedup, knn).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total wall sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "build": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+N_LOW = int(os.environ.get("BLEVE_BENCH_LOW", "8"))
+N_HIGH = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS_N = int(os.environ.get("BLEVE_BENCH_CORPUS", "50000"))
+QUERY_REPS = int(os.environ.get("BLEVE_BENCH_REPS", "5"))
+
+CORPUS_PARQUET = f"/tmp/bleve_bench_corpus_{CORPUS_N}.parquet"
+IDX_BASE = "/tmp/bleve_bench_idx"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_corpus():
+    if not os.path.exists(CORPUS_PARQUET):
+        from bleve_spark.corpus import write_corpus_parquet
+
+        t0 = time.time()
+        write_corpus_parquet(CORPUS_PARQUET, CORPUS_N)
+        log(f"corpus synth {CORPUS_N} files in {time.time()-t0:.1f}s")
+
+
+def build_at(master_n: int) -> dict:
+    """Fresh session at local[master_n]; build the code-corpus index."""
+    from pyspark.sql import SparkSession, functions as F
+
+    from bleve_spark import IndexBuilder, code_corpus_mapping
+    from bleve_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active:
+        active.stop()
+    spark = get_spark(master=f"local[{master_n}]", app_name=f"bench{master_n}")
+    path = f"{IDX_BASE}_{master_n}"
+    shutil.rmtree(path, ignore_errors=True)
+    corpus = spark.read.parquet(CORPUS_PARQUET).drop("content_sha256")
+    t0 = time.time()
+    IndexBuilder(spark, code_corpus_mapping(), path).build(
+        corpus,
+        id_expr=F.concat_ws("|", "repo", "path", "commit"),
+        resume=False,
+    )
+    wall = time.time() - t0
+    return {
+        "parallelism": master_n,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(CORPUS_N / wall, 1),
+        "index_path": path,
+    }
+
+
+def timed(fn, reps=QUERY_REPS):
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 3)
+
+
+def run_queries(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from bleve_spark import (
+        SearchIndex,
+        Searcher,
+        SearchRequest,
+        code_corpus_mapping,
+    )
+    from bleve_spark import query as Q
+    from bleve_spark import scoring
+
+    idx = SearchIndex(
+        spark, f"{IDX_BASE}_{N_HIGH}", code_corpus_mapping()
+    )
+    s = Searcher(idx)
+    out = {}
+
+    def topk(q, sim=scoring.TFIDF, size=10):
+        def run():
+            Searcher(idx, sim).search(
+                SearchRequest(query=q, size=size, similarity=sim)
+            ).hits.collect()
+
+        return run
+
+    uniq = "uniq" + "".join("abcdefghij"[int(c)] for c in str(CORPUS_N // 2))
+    out["q_term_exact"] = timed(topk(Q.TermQuery(field="content", term=uniq)))
+    out["q_term_hot"] = timed(
+        topk(Q.TermQuery(field="content", term="license"))
+    )
+    out["q_term_hot_bm25"] = timed(
+        topk(Q.TermQuery(field="content", term="license"), scoring.BM25)
+    )
+    out["q_phrase"] = timed(
+        topk(Q.MatchPhraseQuery(field="content", text="apache license"))
+    )
+    out["q_bool_conj"] = timed(
+        topk(
+            Q.BooleanQuery(
+                must=[
+                    Q.TermQuery(field="content", term="index"),
+                    Q.TermQuery(field="content", term="merge"),
+                ],
+                must_not=[Q.TermQuery(field="content", term="license")],
+            )
+        )
+    )
+    out["q_match_topk"] = timed(
+        topk(Q.MatchQuery(field="content", text="parse index stream"))
+    )
+    out["q_match_topk_bm25"] = timed(
+        topk(
+            Q.MatchQuery(field="content", text="parse index stream"),
+            scoring.BM25,
+        )
+    )
+
+    # ops over the driver's sf tables
+    import __spark_entry__ as entrymod
+
+    for name in ("dedup_minhash_lsh", "knn_cosine", "text_quality"):
+        fn = entrymod.queries()[name]
+        out[f"op_{name}"] = timed(lambda: fn(spark, SF_DIR).collect(), reps=3)
+    return out
+
+
+def main():
+    t_start = time.time()
+    make_corpus()
+    b_low = build_at(N_LOW)
+    log("build low:", b_low)
+    b_high = build_at(N_HIGH)
+    log("build high:", b_high)
+    ratio = N_HIGH / N_LOW
+    eff = b_high["docs_per_sec"] / (ratio * b_low["docs_per_sec"])
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    queries = run_queries(spark)
+
+    result = {
+        "metric": "index-build docs/sec + query latency (code corpus "
+        f"{CORPUS_N} files) with local[{N_LOW}]->local[{N_HIGH}] scaling",
+        "value": round(time.time() - t_start, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "build": {
+            "low": b_low,
+            "high": b_high,
+            "scaling_ratio": ratio,
+            "scaling_efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,31 +60,115 @@ BLOCK_ENC_TYPE = T.StructType(
 )
 
 
-@F.pandas_udf(BLOCK_ENC_TYPE)
-def _encode_block_udf(plists: pd.Series) -> pd.DataFrame:
-    """Encode one posting block (sorted array<struct<docid,tf,length,
-    positions>>) into delta+varint binary columns plus block-max metadata
-    (the WAND pruning bound inputs: max_tf, min_len)."""
-    rows = {k: [] for k in BLOCK_ENC_TYPE.fieldNames()}
-    for plist in plists:
-        docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64)
-        tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64)
-        lens = np.fromiter((p["length"] for p in plist), dtype=np.int64)
-        pos_lists = [
-            p["positions"] if p["positions"] is not None else [] for p in plist
-        ]
-        rows["df_block"].append(len(docids))
-        rows["cf_block"].append(int(tfs.sum()))
-        rows["min_docid"].append(int(docids[0]))
-        rows["max_docid"].append(int(docids[-1]))
-        rows["max_tf"].append(int(tfs.max()))
-        rows["min_len"].append(int(lens.min()))
-        rows["max_len"].append(int(lens.max()))
-        rows["docids_enc"].append(codec.delta_encode(docids))
-        rows["tfs_enc"].append(codec.varint_encode(tfs))
-        rows["lens_enc"].append(codec.varint_encode(lens))
-        rows["pos_enc"].append(codec.encode_positions(pos_lists))
-    return pd.DataFrame(rows)
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("block", T.LongType()),
+    ]
+    + BLOCK_ENC_TYPE.fields
+)
+
+
+def _encode_group(out, field, term, block, docids, tfs, lens, pos_lists):
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    out["field"].append(field)
+    out["term"].append(term)
+    out["block"].append(block)
+    out["df_block"].append(len(docids))
+    out["cf_block"].append(int(tfs.sum()))
+    out["min_docid"].append(int(docids[0]))
+    out["max_docid"].append(int(docids[-1]))
+    out["max_tf"].append(int(tfs.max()))
+    out["min_len"].append(int(lens.min()))
+    out["max_len"].append(int(lens.max()))
+    out["docids_enc"].append(codec.delta_encode(docids))
+    out["tfs_enc"].append(codec.varint_encode(tfs))
+    out["lens_enc"].append(codec.varint_encode(lens))
+    out["pos_enc"].append(codec.encode_positions(pos_lists))
+
+
+def _encode_sorted_stream(batches):
+    """Streaming sort-based block encoder: consumes (docid, field, length,
+    term, tf, positions) rows sorted by (field, term, block, docid) within
+    the partition and emits one encoded row per (field, term, block).
+    Carries the open group across Arrow batch boundaries — the Spark
+    analogue of zapx's segment writer consuming a sorted term stream."""
+    carry = None  # (field, term, block, [docids], [tfs], [lens], [pos])
+    out = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+
+    def flush_rows():
+        nonlocal out
+        if out["field"]:
+            df = pd.DataFrame(out)
+            out = {k: [] for k in POSTINGS_SCHEMA.fieldNames()}
+            return df
+        return None
+
+    def merge(seg_a, seg_b):
+        return (
+            np.concatenate([seg_a[0], seg_b[0]]),
+            np.concatenate([seg_a[1], seg_b[1]]),
+            np.concatenate([seg_a[2], seg_b[2]]),
+            seg_a[3] + seg_b[3],
+        )
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        fields = pdf["field"].to_numpy()
+        terms = pdf["term"].to_numpy()
+        blocks = pdf["block"].to_numpy()
+        docids = pdf["docid"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        lens = pdf["length"].to_numpy()
+        poss = pdf["positions"].to_numpy()
+        # group boundaries via change detection (vectorized)
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (
+            (fields[1:] != fields[:-1])
+            | (terms[1:] != terms[:-1])
+            | (blocks[1:] != blocks[:-1])
+        )
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(pdf))
+        groups = []
+        for s, e in zip(starts, ends):
+            groups.append(
+                (
+                    (fields[s], terms[s], int(blocks[s])),
+                    (
+                        docids[s:e],
+                        tfs[s:e],
+                        lens[s:e],
+                        [p if p is not None else [] for p in poss[s:e]],
+                    ),
+                )
+            )
+        if carry is not None:
+            if groups and groups[0][0] == carry[0]:
+                groups[0] = (carry[0], merge(carry[1], groups[0][1]))
+            else:
+                k, (d, t, l, p) = carry
+                _encode_group(out, k[0], k[1], k[2], d, t, l, p)
+            carry = None
+        # every group except the last is complete within this batch
+        for key, seg in groups[:-1]:
+            _encode_group(out, key[0], key[1], key[2], *seg)
+        if groups:
+            carry = groups[-1]
+        df = flush_rows()
+        if df is not None:
+            yield df
+    if carry is not None:
+        k, (d, t, l, p) = carry
+        _encode_group(out, k[0], k[1], k[2], d, t, l, p)
+    df = flush_rows()
+    if df is not None:
+        yield df
 
 
 def assign_docids(
@@ -105,6 +189,13 @@ def assign_docids(
     sorted_df = keyed.repartitionByRange(n_partitions, "_id").sortWithinPartitions(
         "_id"
     )
+    # persist BEFORE deriving per-partition counts: the counts job and the
+    # assignment job must observe the *same* materialized partition layout.
+    # Without this, AQE may coalesce the range exchange differently per
+    # job and the offsets would be wrong (duplicate/missing docids).
+    from pyspark import StorageLevel
+
+    sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
     with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
     counts = {
         r["__pid"]: r["cnt"]
@@ -131,7 +222,9 @@ def assign_docids(
             pdf["docid"] = np.arange(start, start + len(pdf), dtype=np.int64)
             yield pdf
 
-    return with_pid.mapInPandas(assign, out_schema)
+    assigned = with_pid.mapInPandas(assign, out_schema)
+    assigned._bleve_unpersist = sorted_df.unpersist  # release after write
+    return assigned
 
 
 @dataclass
@@ -205,8 +298,9 @@ class IndexBuilder:
         fingerprint: Optional[str] = None,
     ) -> BuildReport:
         os.makedirs(self.index_path, exist_ok=True)
-        if fingerprint is None:
+        if fingerprint is None and resume:
             fingerprint = f"n={corpus.count()};cols={sorted(corpus.columns)};shift={self.block_shift}"
+        fingerprint = fingerprint or "no-resume"
         report = BuildReport(self.index_path)
         spark = self.spark
 
@@ -220,29 +314,74 @@ class IndexBuilder:
                 c for c in corpus.columns if c != "_id"
             ]  # stored plane = the corpus columns themselves (docvalues too)
             self._write(docs.select("docid", "_id", *stored), "docs")
+            if hasattr(docs, "_bleve_unpersist"):
+                docs._bleve_unpersist()
             self._mark_stage("docs", fingerprint)
             report.add("docs", spark.read.parquet(self._stage_dir("docs")).count(), (time.time() - t0) * 1e3)
 
         docs = spark.read.parquet(self._stage_dir("docs"))
 
-        # stage 2: analyze -> term rows + norms ----------------------------
-        # One termfreq pandas UDF per indexed text field; per-doc term
-        # aggregation happens inside the UDF (map-side), so the explode
-        # below emits (docid, term) rows already unique per doc.
+        # stage 2: analyze (the expensive pandas-UDF pass) -----------------
+        # One termfreq UDF per indexed text field, run EXACTLY ONCE and
+        # materialized: per-doc term aggregation happens inside the UDF
+        # (map-side, ref analysis/freq.go:21-70), no shuffle; norms and
+        # postings both derive from this stage (checkpoint-resume point).
         text_fields = self.mapping.text_fields()
+        if not (resume and self._stage_done("analyzed", fingerprint)):
+            t0 = time.time()
+            parts = []
+            for fm in text_fields:
+                tf_col = termfreq_udf(self.mapping.analyzer_for(fm.name))(
+                    F.col(fm.name).cast("string")
+                )
+                parts.append(
+                    docs.select(
+                        "docid", F.lit(fm.name).alias("field"), tf_col.alias("a")
+                    ).select(
+                        "docid",
+                        "field",
+                        F.col("a.length").alias("length"),
+                        F.col("a.freqs").alias("freqs"),
+                    )
+                )
+            analyzed = parts[0]
+            for p in parts[1:]:
+                analyzed = analyzed.unionByName(p)
+            self._write(analyzed, "analyzed")
+            self._mark_stage("analyzed", fingerprint)
+            report.add(
+                "analyzed",
+                spark.read.parquet(self._stage_dir("analyzed")).count(),
+                (time.time() - t0) * 1e3,
+            )
 
-        def field_rows(fm) -> DataFrame:
-            tf_col = termfreq_udf(self.mapping.analyzer_for(fm.name))(
-                F.col(fm.name).cast("string")
-            )
-            base = docs.select(
-                "docid", F.lit(fm.name).alias("field"), tf_col.alias("a")
-            )
-            return base.select(
+        analyzed = spark.read.parquet(self._stage_dir("analyzed"))
+
+        # stage 3: norms (cheap projection of analyzed) --------------------
+        if not (resume and self._stage_done("norms", fingerprint)):
+            t0 = time.time()
+            # float32 norm, as the reference stores it
+            # (/root/reference/index/upsidedown/upsidedown.go:608-609)
+            norms = analyzed.select(
                 "docid",
                 "field",
-                F.col("a.length").alias("length"),
-                F.explode_outer("a.freqs").alias("e"),
+                "length",
+                (
+                    F.lit(1.0) / F.sqrt(F.greatest(F.col("length"), F.lit(1)))
+                ).cast("float").alias("norm"),
+            )
+            self._write(norms, "norms")
+            self._mark_stage("norms", fingerprint)
+            report.add("norms", spark.read.parquet(self._stage_dir("norms")).count(), (time.time() - t0) * 1e3)
+
+        # stage 4: postings blocks -----------------------------------------
+        if not (resume and self._stage_done("postings", fingerprint)):
+            t0 = time.time()
+            rows = analyzed.select(
+                "docid",
+                "field",
+                "length",
+                F.explode("freqs").alias("e"),
             ).select(
                 "docid",
                 "field",
@@ -251,43 +390,6 @@ class IndexBuilder:
                 F.col("e.tf").alias("tf"),
                 F.col("e.positions").alias("positions"),
             )
-
-        if not (resume and self._stage_done("norms", fingerprint)):
-            t0 = time.time()
-            norm_parts = []
-            for fm in text_fields:
-                tf_col = termfreq_udf(self.mapping.analyzer_for(fm.name))(
-                    F.col(fm.name).cast("string")
-                )
-                norm_parts.append(
-                    docs.select(
-                        "docid",
-                        F.lit(fm.name).alias("field"),
-                        tf_col["length"].alias("length"),
-                    )
-                )
-            norms = norm_parts[0]
-            for p in norm_parts[1:]:
-                norms = norms.unionByName(p)
-            # float32 norm, as the reference stores it
-            # (/root/reference/index/upsidedown/upsidedown.go:608-609)
-            norms = norms.withColumn(
-                "norm",
-                (F.lit(1.0) / F.sqrt(F.greatest(F.col("length"), F.lit(1)))).cast(
-                    "float"
-                ),
-            )
-            self._write(norms, "norms")
-            self._mark_stage("norms", fingerprint)
-            report.add("norms", spark.read.parquet(self._stage_dir("norms")).count(), (time.time() - t0) * 1e3)
-
-        # stage 3: postings blocks -----------------------------------------
-        if not (resume and self._stage_done("postings", fingerprint)):
-            t0 = time.time()
-            rows = field_rows(text_fields[0])
-            for fm in text_fields[1:]:
-                rows = rows.unionByName(field_rows(fm))
-            rows = rows.where(F.col("term").isNotNull())
 
             if self.mapping.compose_all:
                 # `_all` composite: merge per-field term freqs, sum lengths
@@ -327,34 +429,24 @@ class IndexBuilder:
                 )
                 rows = rows.unionByName(all_rows)
 
-            blocks = (
+            # ONE wide shuffle: hash-partition by (field, term) — all of a
+            # term's blocks land in one bucket (scan pruning + contiguous
+            # groups) — then a Tungsten sort and a streaming block encoder.
+            # The docid-range `block` key bounds any single group's size,
+            # and reducer skew is bounded by sum-of-term-postings per hash
+            # bucket, not per hot term.
+            nbuckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            sorted_rows = (
                 rows.withColumn(
                     "block", F.shiftright(F.col("docid"), self.block_shift)
                 )
-                .groupBy("field", "term", "block")
-                .agg(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct("docid", "tf", "length", "positions")
-                        )
-                    ).alias("plist")
-                )
-                .select(
-                    "field",
-                    "term",
-                    "block",
-                    _encode_block_udf(F.col("plist")).alias("enc"),
-                )
-                .select("field", "term", "block", "enc.*")
+                .repartition(nbuckets, "field", "term")
+                .sortWithinPartitions("field", "term", "block", "docid")
             )
-            # bucket-by-term layout for scan pruning
-            nbuckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            (
-                blocks.repartition(nbuckets, "field", "term")
-                .sortWithinPartitions("field", "term", "block")
-                .write.mode("overwrite")
-                .parquet(self._stage_dir("postings"))
+            blocks = sorted_rows.mapInPandas(
+                _encode_sorted_stream, POSTINGS_SCHEMA
             )
+            blocks.write.mode("overwrite").parquet(self._stage_dir("postings"))
             self._mark_stage("postings", fingerprint)
             report.add("postings", spark.read.parquet(self._stage_dir("postings")).count(), (time.time() - t0) * 1e3)
 

@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("BLEVE_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # keep input splits fine-grained enough that the pandas-UDF
+        # analysis stage parallelizes even over few/small files; on a
+        # production cluster with TB-scale inputs these also behave
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.files.openCostInBytes", "131072")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
