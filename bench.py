@@ -26,8 +26,9 @@ import time
 N_LOW = int(os.environ.get("BLEVE_BENCH_LOW", "8"))
 N_HIGH = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CORPUS_N = int(os.environ.get("BLEVE_BENCH_CORPUS", "50000"))
+CORPUS_N = int(os.environ.get("BLEVE_BENCH_CORPUS", "250000"))
 QUERY_REPS = int(os.environ.get("BLEVE_BENCH_REPS", "5"))
+BUILD_RUNS = int(os.environ.get("BLEVE_BENCH_BUILD_RUNS", "2"))
 
 CORPUS_PARQUET = f"/tmp/bleve_bench_corpus_{CORPUS_N}.parquet"
 IDX_BASE = "/tmp/bleve_bench_idx"
@@ -46,22 +47,44 @@ def make_corpus():
         log(f"corpus synth {CORPUS_N} files in {time.time()-t0:.1f}s")
 
 
-def build_at(master_n: int) -> dict:
-    """Fresh session at local[master_n]; build the code-corpus index."""
-    from pyspark.sql import SparkSession, functions as F
+def build_at_inprocess(master_n: int) -> dict:
+    """Fresh session at local[master_n]; build the code-corpus index.
+    Run this in a FRESH PROCESS per level — a restarted SparkContext in a
+    reused JVM is ~2x slower (stale shuffle dirs/GC), which would corrupt
+    the scaling measurement."""
+    from pyspark.sql import functions as F
 
     from bleve_spark import IndexBuilder, code_corpus_mapping
     from bleve_spark.session import get_spark
 
-    active = SparkSession.getActiveSession()
-    if active:
-        active.stop()
     spark = get_spark(master=f"local[{master_n}]", app_name=f"bench{master_n}")
     path = f"{IDX_BASE}_{master_n}"
     shutil.rmtree(path, ignore_errors=True)
     corpus = spark.read.parquet(CORPUS_PARQUET).drop("content_sha256")
+    # warmup: spin up ALL Python UDF workers (one per task slot) + JIT
+    # before the timed build — on a long-lived cluster workers are warm.
+    # The warm job must span >= one partition per core; limit(512) would
+    # collapse to one partition and warm a single worker.
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    def _warm(batches):
+        import bleve_spark.analysis.udfs  # noqa: F401  (worker imports)
+        from bleve_spark.analysis import get_analyzer
+
+        a = get_analyzer("code")
+        for pdf in batches:
+            a.analyze("warmUp someCamelCase snake_case 123")
+            yield _pd.DataFrame({"x": [len(pdf)]})
+
+    (
+        spark.range(master_n * 8)
+        .repartition(master_n * 4)
+        .mapInPandas(_warm, _T.StructType([_T.StructField("x", _T.LongType())]))
+        .count()
+    )
     t0 = time.time()
-    IndexBuilder(spark, code_corpus_mapping(), path).build(
+    rep = IndexBuilder(spark, code_corpus_mapping(), path).build(
         corpus,
         id_expr=F.concat_ws("|", "repo", "path", "commit"),
         resume=False,
@@ -72,7 +95,35 @@ def build_at(master_n: int) -> dict:
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(CORPUS_N / wall, 1),
         "index_path": path,
+        "stages": {
+            s["stage"]: round(s["wall_ms"] / 1000, 1) for s in rep.stages
+        },
     }
+
+
+def build_at(master_n: int) -> dict:
+    """Run build_at_inprocess in a clean subprocess and collect its JSON."""
+    import subprocess
+
+    code = (
+        "import json, bench; "
+        f"print('BENCHRESULT ' + json.dumps(bench.build_at_inprocess({master_n})))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=os.environ,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHRESULT "):
+            return json.loads(line[len("BENCHRESULT "):])
+    raise RuntimeError(
+        f"build subprocess failed (rc={proc.returncode}):\n"
+        + proc.stderr[-2000:]
+    )
 
 
 def timed(fn, reps=QUERY_REPS):
@@ -151,19 +202,35 @@ def run_queries(spark) -> dict:
     return out
 
 
+def build_both() -> tuple:
+    """Best-of-BUILD_RUNS per level, INTERLEAVED (low, high, low, high):
+    the sandbox VM's CPU and virtio-disk throughput drift over minutes
+    (host contention, writeback, throttling); interleaving exposes both
+    levels to the same drift and best-of-N strips cold-cache outliers."""
+    best = {N_LOW: None, N_HIGH: None}
+    for _ in range(BUILD_RUNS):
+        for n in (N_LOW, N_HIGH):
+            os.system("sync")
+            time.sleep(2)
+            b = build_at(n)
+            log(f"build[{n}] run:", b)
+            if best[n] is None or b["wall_sec"] < best[n]["wall_sec"]:
+                best[n] = b
+    return best[N_LOW], best[N_HIGH]
+
+
 def main():
     t_start = time.time()
     make_corpus()
-    b_low = build_at(N_LOW)
+    b_low, b_high = build_both()
     log("build low:", b_low)
-    b_high = build_at(N_HIGH)
     log("build high:", b_high)
     ratio = N_HIGH / N_LOW
     eff = b_high["docs_per_sec"] / (ratio * b_low["docs_per_sec"])
 
-    from pyspark.sql import SparkSession
+    from bleve_spark.session import get_spark
 
-    spark = SparkSession.getActiveSession()
+    spark = get_spark(master=f"local[{N_HIGH}]", app_name="bench_queries")
     queries = run_queries(spark)
 
     result = {

@@ -65,6 +65,8 @@ class Analyzer:
     char_filters: List[CharFilter] = field(default_factory=list)
     token_filters: List[TokenFilter] = field(default_factory=list)
 
+    fast_termfreq: Callable = None  # optional fused hot path (see below)
+
     def analyze(self, text: str) -> List[Token]:
         if text is None:
             return []
@@ -77,6 +79,20 @@ class Analyzer:
 
     def terms(self, text: str) -> List[str]:
         return [t[0] for t in self.analyze(text)]
+
+    def termfreq(self, text: str):
+        """(analyzed_length, {term: [positions]}) — the build path's unit.
+
+        Uses the fused fast path when one exists for this chain (must be
+        behavior-identical to the generic path; tested in
+        tests/test_analysis.py)."""
+        if self.fast_termfreq is not None:
+            return self.fast_termfreq(text)
+        tokens = self.analyze(text)
+        freqs: dict = {}
+        for t in tokens:
+            freqs.setdefault(t[0], []).append(t[1])
+        return len(tokens), freqs
 
 
 # -- registry (ref: registry/registry.go:23, mapping/index.go:61-147) ------
@@ -100,6 +116,63 @@ def get_analyzer(name: str) -> Analyzer:
 
 def analyzer_names() -> List[str]:
     return sorted(_REGISTRY)
+
+
+# -- fused termfreq fast paths ---------------------------------------------
+# Behavior-identical to running the full chain then aggregating; they skip
+# building intermediate token tuple lists. Positions are 1-based and, for
+# stop-filtered chains, keep their pre-removal numbering (gap semantics,
+# ref token/stop/stop.go:40-52); analyzed length counts surviving tokens.
+
+from .filters import _camel_split  # noqa: E402
+from .stopwords_en import ENGLISH_STOP_WORDS as _STOP  # noqa: E402
+from .tokenizers import _LETTER, _NONSPACE, _UNICODE_WORD  # noqa: E402
+
+
+def _ft_code(text):
+    if not text:
+        return 0, {}
+    freqs: Dict[str, list] = {}
+    pos = 0
+    for m in _UNICODE_WORD.finditer(text):
+        for part in _camel_split(m.group(0)):
+            pos += 1
+            freqs.setdefault(part.lower(), []).append(pos)
+    return pos, freqs
+
+
+def _ft_regex_lower_stop(pattern, stopset):
+    def ft(text):
+        if not text:
+            return 0, {}
+        freqs: Dict[str, list] = {}
+        pos = 0
+        n = 0
+        for m in pattern.finditer(text):
+            pos += 1
+            term = m.group(0).lower()
+            if term in stopset:
+                continue
+            n += 1
+            freqs.setdefault(term, []).append(pos)
+        return n, freqs
+
+    return ft
+
+
+def _ft_keyword(text):
+    if not text:
+        return 0, {}
+    return 1, {text: [1]}
+
+
+_FAST_TERMFREQ = {
+    "code": _ft_code,
+    "standard": _ft_regex_lower_stop(_UNICODE_WORD, _STOP),
+    "simple": _ft_regex_lower_stop(_LETTER, frozenset()),
+    "whitespace_lower": _ft_regex_lower_stop(_NONSPACE, frozenset()),
+    "keyword": _ft_keyword,
+}
 
 
 # built-in analyzers
@@ -145,3 +218,6 @@ register_analyzer(
     # (string_split on space) used for the driver correctness gate.
     Analyzer("whitespace_lower", whitespace_tokenize, token_filters=[lowercase_filter])
 )
+
+for _name, _ft in _FAST_TERMFREQ.items():
+    _REGISTRY[_name].fast_termfreq = _ft

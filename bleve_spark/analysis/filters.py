@@ -7,6 +7,7 @@ token-filter set (/root/reference/analysis/token/*); citations inline.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Iterable, List
 
@@ -49,7 +50,19 @@ def _rune_class(ch: str) -> str:
     return "other"
 
 
+# ASCII fast path: one regex alternation encodes the same greedy class
+# split as the reference parser. [A-Z]+(?![a-z]) backtracks so that an
+# upper followed by a lower starts a new Word (HTTPServer -> HTTP, Server).
+_CAMEL_ASCII = re.compile(r"[a-z]+|[A-Z][a-z]+|[A-Z]+(?![a-z])|[0-9]+|[^a-zA-Z0-9]+")
+
+
 def _camel_split(term: str) -> List[str]:
+    if term.isascii():
+        return _CAMEL_ASCII.findall(term)
+    return _camel_split_slow(term)
+
+
+def _camel_split_slow(term: str) -> List[str]:
     """Greedy one-pass class split, faithful to the reference parser
     (ref: token/camelcase/parser.go + states.go): classes are
     lower-run, Upper[+lower-run | +UPPER-run], number-run, symbol-run;

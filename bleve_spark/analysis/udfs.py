@@ -77,6 +77,127 @@ def term_frequencies(tokens: List) -> List[dict]:
     ]
 
 
+ANALYZED_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("docid", T.LongType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("length", T.IntegerType()),
+        T.StructField("term", T.StringType()),  # NULL marks the norms row
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("pos_enc", T.BinaryType()),
+    ]
+)
+
+
+def make_analyzed_rows_fn(field_analyzers: list, compose_all_fields=None):
+    """mapInPandas function: docs batches -> FLAT analyzed rows for all
+    text fields in one pass.
+
+    Output is all-scalar (string/int/bytes) — no nested Arrow structs —
+    with positions delta+varint encoded per (doc, term) at the source.
+    Posting-block assembly later just concatenates these byte streams.
+    One extra row per (doc, field) with term=NULL carries the analyzed
+    length for the norms table (no extra scan, no shuffle).
+
+    field_analyzers: [(field_name, analyzer_name)].
+    compose_all_fields: if set, also emit a `_all` composite field that
+    merges those fields' term freqs per doc (tf summed, positions merged
+    sorted, length summed — ref: document/field_composite.go:103-131).
+    """
+    import numpy as np
+
+    from .. import codec
+
+    def run(batches):
+        from . import get_analyzer
+
+        analyzers = [(f, get_analyzer(a)) for f, a in field_analyzers]
+        for pdf in batches:
+            docids_in = pdf["docid"].to_numpy()
+            out_docid = []
+            out_field = []
+            out_length = []
+            out_term = []
+            out_tf = []
+            flat_vals = []  # [npos, p0, gaps...] per group, concatenated
+            group_counts = []  # values per group (0 for marker rows)
+            def emit_field(docid, fname, length, freqs):
+                for term in sorted(freqs):
+                    positions = freqs[term]
+                    out_docid.append(docid)
+                    out_field.append(fname)
+                    out_length.append(length)
+                    out_term.append(term)
+                    out_tf.append(len(positions))
+                    flat_vals.append(len(positions))
+                    prev = 0
+                    for p in positions:
+                        flat_vals.append(p - prev)
+                        prev = p
+                    group_counts.append(len(positions) + 1)
+                # norms marker row
+                out_docid.append(docid)
+                out_field.append(fname)
+                out_length.append(length)
+                out_term.append(None)
+                out_tf.append(0)
+                group_counts.append(0)
+
+            all_accum = (
+                {int(d): ({}, 0) for d in docids_in}
+                if compose_all_fields
+                else None
+            )
+            for fname, analyzer in analyzers:
+                col = pdf[fname]
+                in_all = compose_all_fields and fname in compose_all_fields
+                for docid, text in zip(docids_in, col):
+                    length, freqs = analyzer.termfreq(
+                        text if isinstance(text, str) else
+                        ("" if text is None else str(text))
+                    )
+                    emit_field(docid, fname, length, freqs)
+                    if in_all:
+                        acc, alen = all_accum[int(docid)]
+                        for term, positions in freqs.items():
+                            acc.setdefault(term, []).extend(positions)
+                        all_accum[int(docid)] = (acc, alen + length)
+            if compose_all_fields:
+                for docid in docids_in:
+                    acc, alen = all_accum[int(docid)]
+                    emit_field(
+                        int(docid),
+                        "_all",
+                        alen,
+                        {t: sorted(p) for t, p in acc.items()},
+                    )
+            buf, nbytes = codec.varint_encode_with_sizes(
+                np.asarray(flat_vals, dtype=np.uint64)
+            )
+            byte_off = np.zeros(len(nbytes) + 1, dtype=np.int64)
+            np.cumsum(nbytes, out=byte_off[1:])
+            group_ends = np.cumsum(
+                np.asarray(group_counts, dtype=np.int64)
+            )
+            group_starts = group_ends - np.asarray(group_counts, dtype=np.int64)
+            pos_enc = [
+                buf[byte_off[s] : byte_off[e]] if e > s else b""
+                for s, e in zip(group_starts, group_ends)
+            ]
+            yield pd.DataFrame(
+                {
+                    "docid": np.asarray(out_docid, dtype=np.int64),
+                    "field": out_field,
+                    "length": np.asarray(out_length, dtype=np.int32),
+                    "term": out_term,
+                    "tf": np.asarray(out_tf, dtype=np.int32),
+                    "pos_enc": pos_enc,
+                }
+            )
+
+    return run
+
+
 def termfreq_udf(analyzer_name: str):
     """Column function: content -> struct<length, freqs> (map-side agg)."""
 

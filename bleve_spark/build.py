@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from . import codec
-from .analysis.udfs import termfreq_udf
+from .analysis.udfs import ANALYZED_ROW_SCHEMA, make_analyzed_rows_fn
 from .mapping import IndexMapping
 
 DEFAULT_BLOCK_SHIFT = 10  # docid-range span per posting block = 1024
@@ -70,7 +70,9 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def _encode_group(out, field, term, block, docids, tfs, lens, pos_lists):
+def _encode_group(out, field, term, block, docids, tfs, lens, pos_bytes):
+    """pos_bytes: per-doc already-varint-encoded [npos, p0, gaps...]
+    streams — block pos_enc is just their concatenation."""
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     lens = np.asarray(lens, dtype=np.int64)
@@ -87,7 +89,7 @@ def _encode_group(out, field, term, block, docids, tfs, lens, pos_lists):
     out["docids_enc"].append(codec.delta_encode(docids))
     out["tfs_enc"].append(codec.varint_encode(tfs))
     out["lens_enc"].append(codec.varint_encode(lens))
-    out["pos_enc"].append(codec.encode_positions(pos_lists))
+    out["pos_enc"].append(b"".join(pos_bytes))
 
 
 def _encode_sorted_stream(batches):
@@ -124,7 +126,7 @@ def _encode_sorted_stream(batches):
         docids = pdf["docid"].to_numpy()
         tfs = pdf["tf"].to_numpy()
         lens = pdf["length"].to_numpy()
-        poss = pdf["positions"].to_numpy()
+        poss = pdf["pos_enc"].to_numpy()
         # group boundaries via change detection (vectorized)
         change = np.empty(len(pdf), dtype=bool)
         change[0] = True
@@ -144,7 +146,7 @@ def _encode_sorted_stream(batches):
                         docids[s:e],
                         tfs[s:e],
                         lens[s:e],
-                        [p if p is not None else [] for p in poss[s:e]],
+                        [p if p is not None else b"" for p in poss[s:e]],
                     ),
                 )
             )
@@ -184,7 +186,9 @@ def assign_docids(
     /root/reference/index/scorch/snapshot_index.go:81,475-480).
     """
     spark = df.sparkSession
-    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    # 4x parallelism: docs parquet gets enough files that the downstream
+    # analysis stage is well-balanced (stragglers dominate at 1 task/core)
+    n_partitions = n_partitions or 4 * spark.sparkContext.defaultParallelism
     keyed = df.withColumn("_id", id_expr)
     sorted_df = keyed.repartitionByRange(n_partitions, "_id").sortWithinPartitions(
         "_id"
@@ -225,6 +229,17 @@ def assign_docids(
     assigned = with_pid.mapInPandas(assign, out_schema)
     assigned._bleve_unpersist = sorted_df.unpersist  # release after write
     return assigned
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return total
 
 
 @dataclass
@@ -309,60 +324,68 @@ class IndexBuilder:
             t0 = time.time()
             if id_expr is None:
                 id_expr = F.col("_id")
-            docs = assign_docids(corpus, id_expr)
+            # rank ONLY the _id projection through the Python two-pass
+            # (tiny rows), then join the ranks back to the full corpus
+            # JVM-side — the content column never round-trips through
+            # Python and moves in exactly one shuffle.
+            ids = corpus.select(id_expr.alias("_id"))
+            assigned = assign_docids(ids, F.col("_id"))
+            rank = assigned.select("docid", "_id")
+            keyed = corpus.withColumn("_id", id_expr)
             stored = [
                 c for c in corpus.columns if c != "_id"
             ]  # stored plane = the corpus columns themselves (docvalues too)
+            docs = keyed.join(rank, "_id")
             self._write(docs.select("docid", "_id", *stored), "docs")
-            if hasattr(docs, "_bleve_unpersist"):
-                docs._bleve_unpersist()
+            if hasattr(assigned, "_bleve_unpersist"):
+                assigned._bleve_unpersist()
             self._mark_stage("docs", fingerprint)
-            report.add("docs", spark.read.parquet(self._stage_dir("docs")).count(), (time.time() - t0) * 1e3)
+            report.add("docs", _parquet_rows(self._stage_dir("docs")), (time.time() - t0) * 1e3)
 
         docs = spark.read.parquet(self._stage_dir("docs"))
 
         # stage 2: analyze (the expensive pandas-UDF pass) -----------------
-        # One termfreq UDF per indexed text field, run EXACTLY ONCE and
-        # materialized: per-doc term aggregation happens inside the UDF
-        # (map-side, ref analysis/freq.go:21-70), no shuffle; norms and
-        # postings both derive from this stage (checkpoint-resume point).
+        # ALL text fields analyzed in ONE mapInPandas pass over docs,
+        # materialized once; per-doc term aggregation happens inside the
+        # UDF (map-side, ref analysis/freq.go:21-70) and positions are
+        # delta+varint encoded at the source, so the output is flat
+        # scalar columns — no nested Arrow structs anywhere. The `_all`
+        # composite (ref document/field_composite.go:103-131) is merged
+        # in the same pass. Norms ride along as term=NULL marker rows.
         text_fields = self.mapping.text_fields()
         if not (resume and self._stage_done("analyzed", fingerprint)):
             t0 = time.time()
-            parts = []
-            for fm in text_fields:
-                tf_col = termfreq_udf(self.mapping.analyzer_for(fm.name))(
-                    F.col(fm.name).cast("string")
+            field_analyzers = [
+                (fm.name, self.mapping.analyzer_for(fm.name))
+                for fm in text_fields
+            ]
+            compose = (
+                frozenset(
+                    fm.name for fm in text_fields if fm.include_in_all
                 )
-                parts.append(
-                    docs.select(
-                        "docid", F.lit(fm.name).alias("field"), tf_col.alias("a")
-                    ).select(
-                        "docid",
-                        "field",
-                        F.col("a.length").alias("length"),
-                        F.col("a.freqs").alias("freqs"),
-                    )
-                )
-            analyzed = parts[0]
-            for p in parts[1:]:
-                analyzed = analyzed.unionByName(p)
+                if self.mapping.compose_all
+                else None
+            )
+            analyzed = docs.mapInPandas(
+                make_analyzed_rows_fn(field_analyzers, compose),
+                ANALYZED_ROW_SCHEMA,
+            )
             self._write(analyzed, "analyzed")
             self._mark_stage("analyzed", fingerprint)
             report.add(
                 "analyzed",
-                spark.read.parquet(self._stage_dir("analyzed")).count(),
+                _parquet_rows(self._stage_dir("analyzed")),
                 (time.time() - t0) * 1e3,
             )
 
         analyzed = spark.read.parquet(self._stage_dir("analyzed"))
 
-        # stage 3: norms (cheap projection of analyzed) --------------------
+        # stage 3: norms (the term=NULL marker rows) -----------------------
         if not (resume and self._stage_done("norms", fingerprint)):
             t0 = time.time()
             # float32 norm, as the reference stores it
             # (/root/reference/index/upsidedown/upsidedown.go:608-609)
-            norms = analyzed.select(
+            norms = analyzed.where(F.col("term").isNull()).select(
                 "docid",
                 "field",
                 "length",
@@ -372,62 +395,12 @@ class IndexBuilder:
             )
             self._write(norms, "norms")
             self._mark_stage("norms", fingerprint)
-            report.add("norms", spark.read.parquet(self._stage_dir("norms")).count(), (time.time() - t0) * 1e3)
+            report.add("norms", _parquet_rows(self._stage_dir("norms")), (time.time() - t0) * 1e3)
 
         # stage 4: postings blocks -----------------------------------------
         if not (resume and self._stage_done("postings", fingerprint)):
             t0 = time.time()
-            rows = analyzed.select(
-                "docid",
-                "field",
-                "length",
-                F.explode("freqs").alias("e"),
-            ).select(
-                "docid",
-                "field",
-                "length",
-                F.col("e.term").alias("term"),
-                F.col("e.tf").alias("tf"),
-                F.col("e.positions").alias("positions"),
-            )
-
-            if self.mapping.compose_all:
-                # `_all` composite: merge per-field term freqs, sum lengths
-                # (ref: document/field_composite.go:103-131). Re-aggregation
-                # keyed by (docid, term) — parallel, no term hotspot.
-                # distinct per (docid, field) lengths, then sum over fields
-                all_len = (
-                    rows.select("docid", "field", "length")
-                    .distinct()
-                    .groupBy("docid")
-                    .agg(F.sum("length").alias("length"))
-                )
-                all_rows = (
-                    rows.where(
-                        F.col("field").isin(
-                            [
-                                fm.name
-                                for fm in text_fields
-                                if fm.include_in_all
-                            ]
-                        )
-                    )
-                    .groupBy("docid", "term")
-                    .agg(
-                        F.sum("tf").alias("tf"),
-                        F.flatten(F.collect_list("positions")).alias("positions"),
-                    )
-                    .join(all_len, "docid")
-                    .select(
-                        "docid",
-                        F.lit("_all").alias("field"),
-                        "length",
-                        "term",
-                        "tf",
-                        F.sort_array("positions").alias("positions"),
-                    )
-                )
-                rows = rows.unionByName(all_rows)
+            rows = analyzed.where(F.col("term").isNotNull())
 
             # ONE wide shuffle: hash-partition by (field, term) — all of a
             # term's blocks land in one bucket (scan pruning + contiguous
@@ -448,7 +421,7 @@ class IndexBuilder:
             )
             blocks.write.mode("overwrite").parquet(self._stage_dir("postings"))
             self._mark_stage("postings", fingerprint)
-            report.add("postings", spark.read.parquet(self._stage_dir("postings")).count(), (time.time() - t0) * 1e3)
+            report.add("postings", _parquet_rows(self._stage_dir("postings")), (time.time() - t0) * 1e3)
 
         postings = spark.read.parquet(self._stage_dir("postings"))
 
@@ -465,7 +438,7 @@ class IndexBuilder:
                 .parquet(self._stage_dir("dictionary"))
             )
             self._mark_stage("dictionary", fingerprint)
-            report.add("dictionary", spark.read.parquet(self._stage_dir("dictionary")).count(), (time.time() - t0) * 1e3)
+            report.add("dictionary", _parquet_rows(self._stage_dir("dictionary")), (time.time() - t0) * 1e3)
 
         # stage 5: field stats + global stats ------------------------------
         if not (resume and self._stage_done("stats", fingerprint)):

@@ -5,13 +5,15 @@ Schema per the north-rule input hint:
 
 Zipf-distributed identifier vocabulary (hot-term skew), license-header
 boilerplate on ~30% of files (extreme hot terms), and a per-file unique
-token ``uniq_{i}`` for exact-hit tests. Seed-fixed and order-deterministic;
+letters-only token for exact-hit tests. Deterministic per doc index
+(seed + i), so generation is chunk-parallel and order-independent;
 content sha256 is recorded at synthesis for the per-row ingest invariant.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -48,15 +50,22 @@ def _vocab(n: int) -> list:
     return out[:n]
 
 
-def generate_corpus(n_files: int, seed: int = 42, vocab_size: int = 2000) -> pd.DataFrame:
-    rng = np.random.default_rng(seed)
+def uniq_token(i: int) -> str:
+    """Letters-only unique token for doc i (survives the camelCase filter)."""
+    return "uniq" + "".join("abcdefghij"[int(c)] for c in str(i))
+
+
+def generate_rows(start: int, end: int, seed: int = 42, vocab_size: int = 2000) -> pd.DataFrame:
+    """Docs [start, end): each doc derived only from (seed, i) — chunk
+    order and chunk boundaries don't affect content."""
     vocab = np.array(_vocab(vocab_size))
-    # Zipf ranks -> extreme hot-term skew, like identifiers in real code
     zipf_p = 1.0 / np.arange(1, vocab_size + 1) ** 1.1
     zipf_p /= zipf_p.sum()
-
+    n = end - start
+    # one bulk RNG for sizes, per-chunk reproducible via per-doc seeding
     rows = []
-    for i in range(n_files):
+    for i in range(start, end):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
         lang = _LANGS[i % len(_LANGS)]
         n_tokens = int(rng.integers(40, 200))
         idents = vocab[rng.choice(vocab_size, size=n_tokens, p=zipf_p)]
@@ -69,9 +78,7 @@ def generate_corpus(n_files: int, seed: int = 42, vocab_size: int = 2000) -> pd.
                 f"func {chunk[0]}({', '.join(chunk[1:4])}) {{ return "
                 f"{' + '.join(chunk[4:])} }}"
             )
-        # letters-only unique token: survives the camelCase filter intact
-        uniq = "uniq" + "".join("abcdefghij"[int(c)] for c in str(i))
-        body_parts.append(uniq)
+        body_parts.append(uniq_token(i))
         content = "\n".join(body_parts)
         rows.append(
             {
@@ -86,7 +93,31 @@ def generate_corpus(n_files: int, seed: int = 42, vocab_size: int = 2000) -> pd.
     return pd.DataFrame(rows)
 
 
-def write_corpus_parquet(path: str, n_files: int, seed: int = 42):
-    pdf = generate_corpus(n_files, seed)
-    pdf.to_parquet(path, index=False)
+def generate_corpus(n_files: int, seed: int = 42, vocab_size: int = 2000) -> pd.DataFrame:
+    return generate_rows(0, n_files, seed, vocab_size)
+
+
+def _write_shard(args):
+    path, start, end, seed, i = args
+    generate_rows(start, end, seed).to_parquet(
+        os.path.join(path, f"part-{i:05d}.parquet"), index=False
+    )
+
+
+def write_corpus_parquet(
+    path: str, n_files: int, seed: int = 42, shards: int = 32, workers: int = 8
+):
+    """Write the corpus as a DIRECTORY of `shards` parquet files (enough
+    input splits for Spark), generating shards in parallel processes."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(path, exist_ok=True)
+    step = (n_files + shards - 1) // shards
+    jobs = [
+        (path, i * step, min((i + 1) * step, n_files), seed, i)
+        for i in range(shards)
+        if i * step < n_files
+    ]
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_write_shard, jobs))
     return path

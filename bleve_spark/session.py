@@ -18,9 +18,10 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
+        # 2x cores: smooths hot-bucket skew and straggler imbalance
         if master.startswith("local["):
             inner = master[len("local[") : -1]
-            shuffle_partitions = cpus if inner == "*" else int(inner)
+            shuffle_partitions = 2 * (cpus if inner == "*" else int(inner))
         else:
             shuffle_partitions = 2 * cpus
     builder = (
@@ -39,6 +40,13 @@ def get_spark(
         # production cluster with TB-scale inputs these also behave
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.files.openCostInBytes", "131072")
+        # >= 4 tasks per slot: avoids 1.1-wave scheduling cliffs on the
+        # expensive pandas-UDF stages and smooths stragglers
+        .config("spark.sql.files.minPartitionNum", str(4 * cpus))
+        # let the docid rank table broadcast in the docs-stage join so the
+        # corpus content never shuffles; big rank tables (10^9+ docs) fall
+        # back to a shuffle join automatically
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -164,3 +164,26 @@ def test_ngram_filters():
         "b",
         "c",
     ]
+
+
+def test_fast_termfreq_matches_generic():
+    """Fused fast paths must be behavior-identical to the generic chain."""
+    import random
+
+    from bleve_spark.analysis import _FAST_TERMFREQ, get_analyzer
+    from bleve_spark.corpus import generate_corpus
+
+    texts = list(generate_corpus(60)["content"]) + [
+        "", "The quick brown fox AND the dog", "snake_case getHTTPServer",
+        "a  b\t c\nd", "can't won't o'clock", "...aMACMac123mac",
+    ]
+    for name in _FAST_TERMFREQ:
+        a = get_analyzer(name)
+        fast = a.fast_termfreq
+        for text in texts:
+            tokens = a.analyze(text)
+            freqs = {}
+            for t in tokens:
+                freqs.setdefault(t[0], []).append(t[1])
+            generic = (len(tokens), freqs)
+            assert fast(text) == generic, (name, text[:60])
