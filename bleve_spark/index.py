@@ -120,18 +120,29 @@ class SearchIndex:
 
     def term_stats(self, field: str, terms: Iterable[str]) -> Dict[str, Tuple[int, int]]:
         """term -> (df, cf). Equivalent of TermFieldReader.Count()
-        (ref: search/searcher/search_term.go:57-64)."""
+        (ref: search/searcher/search_term.go:57-64). Memoized per
+        (field, term) — planner phases re-resolve the same terms and each
+        lookup is a driver-side Spark job."""
+        if not hasattr(self, "_term_stats_cache"):
+            self._term_stats_cache: Dict[Tuple[str, str], Optional[Tuple[int, int]]] = {}
         terms = list(dict.fromkeys(terms))
-        if not terms:
-            return {}
-        rows = (
-            self.dictionary.where(
-                (F.col("field") == field) & F.col("term").isin(terms)
+        missing = [t for t in terms if (field, t) not in self._term_stats_cache]
+        if missing:
+            rows = (
+                self.dictionary.where(
+                    (F.col("field") == field) & F.col("term").isin(missing)
+                )
+                .select("term", "df", "cf")
+                .collect()
             )
-            .select("term", "df", "cf")
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            for t in missing:
+                self._term_stats_cache[(field, t)] = found.get(t)
+        return {
+            t: self._term_stats_cache[(field, t)]
+            for t in terms
+            if self._term_stats_cache[(field, t)] is not None
+        }
 
     def expand_terms(self, field: str, predicate) -> List[Tuple[str, int]]:
         """Dictionary enumeration for prefix/regexp/fuzzy/range queries

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from . import query as Q
 from . import scoring
+from . import wand
 from .analysis import get_analyzer
 from .index import SearchIndex
 
@@ -77,9 +78,19 @@ class _Plan:
 
 
 class Searcher:
-    def __init__(self, index: SearchIndex, similarity: str = scoring.TFIDF):
+    def __init__(
+        self,
+        index: SearchIndex,
+        similarity: str = scoring.TFIDF,
+        wand_min_postings: int = 65536,
+    ):
         self.index = index
         self.similarity = similarity
+        # block-max WAND engages only when the query's summed df clears
+        # this floor — below it the two extra (tiny) Spark jobs cost more
+        # than the decode they save. At 100 TB scale virtually every
+        # match query clears it.
+        self.wand_min_postings = wand_min_postings
 
     # ------------------------------------------------------------------
     def default_field(self) -> str:
@@ -101,7 +112,20 @@ class Searcher:
 
     # -- leaf planners --------------------------------------------------
 
-    def _plan_term(self, fld: str, term: str, boost: float) -> _Plan:
+    def _restricted_blocks(self, fld, terms, block_filter):
+        """Posting blocks for (fld, terms), optionally cut down to a WAND
+        survivor set — a literal id list (tiny phase-1 sets) or a
+        broadcast-joined DataFrame(block) (phase-2 survivors)."""
+        if block_filter is None:
+            return None
+        src = self.index.blocks(fld, terms)
+        if isinstance(block_filter, list):
+            return src.where(F.col("block").isin(block_filter))
+        return src.join(F.broadcast(block_filter), "block")
+
+    def _plan_term(
+        self, fld: str, term: str, boost: float, block_filter=None
+    ) -> _Plan:
         stats = self.index.term_stats(fld, [term])
         if term not in stats:
             return _Plan(0.0, lambda qn: self._empty())
@@ -111,7 +135,11 @@ class Searcher:
         avg_len = self.index.avg_len(fld)
 
         def build(qn):
-            decoded = self.index.decoded(fld, [term])
+            decoded = self.index.decoded(
+                fld,
+                [term],
+                blocks=self._restricted_blocks(fld, [term], block_filter),
+            )
             return decoded.select(
                 "docid",
                 scoring.term_score_col(
@@ -128,7 +156,11 @@ class Searcher:
         return _Plan(weight, build)
 
     def _plan_multi_term(
-        self, fld: str, terms_df: List[Tuple[str, int]], boost: float
+        self,
+        fld: str,
+        terms_df: List[Tuple[str, int]],
+        boost: float,
+        block_filter=None,
     ) -> _Plan:
         """Expanded dictionary terms -> disjunction of term searchers
         (ref: searcher/search_multi_term.go)."""
@@ -146,7 +178,12 @@ class Searcher:
         total = len(terms_df)
 
         def build(qn):
-            decoded = self.index.decoded(fld, [t for t, _ in terms_df])
+            qterms = [t for t, _ in terms_df]
+            decoded = self.index.decoded(
+                fld,
+                qterms,
+                blocks=self._restricted_blocks(fld, qterms, block_filter),
+            )
             idf_map = F.create_map(
                 *[x for t, i in term_idf.items() for x in (F.lit(t), F.lit(i))]
             )
@@ -560,9 +597,137 @@ class Searcher:
             qn = 1.0 / math.sqrt(plan.weight)
         return plan.df(qn)
 
+    # -- block-max WAND top-k (north rule; bleve_spark/wand.py) ----------
+
+    def _wand_candidate(self, q: Q.Query):
+        """(field, [(term, boost)], conjunctive, apply_qn) when q is a
+        pure term-leaf query WAND can accelerate, else None. Duplicate
+        terms bail out so the restricted plan stays shape-identical to
+        the plain one."""
+        if isinstance(q, Q.TermQuery):
+            fld = q.field or self.default_field()
+            return fld, [(q.term, q.boost)], False, False
+        if isinstance(q, Q.MatchQuery) and q.fuzziness == 0:
+            fld = q.field or self.default_field()
+            analyzer = get_analyzer(self._analyzer_for(fld, q.analyzer))
+            tokens = analyzer.analyze(q.text)
+            terms = [t[0] for t in tokens]
+            if not terms or len(set(terms)) != len(terms):
+                return None
+            return (
+                fld,
+                [(t, q.boost) for t in terms],
+                q.operator == "and",
+                True,
+            )
+        if isinstance(q, (Q.ConjunctionQuery, Q.DisjunctionQuery)):
+            children = (
+                q.conjuncts
+                if isinstance(q, Q.ConjunctionQuery)
+                else q.disjuncts
+            )
+            if isinstance(q, Q.DisjunctionQuery) and q.min > 1:
+                return None
+            if not children or not all(
+                isinstance(c, Q.TermQuery) for c in children
+            ):
+                return None
+            flds = {c.field or self.default_field() for c in children}
+            terms = [c.term for c in children]
+            if len(flds) != 1 or len(set(terms)) != len(terms):
+                return None
+            return (
+                flds.pop(),
+                [(c.term, c.boost) for c in children],
+                isinstance(q, Q.ConjunctionQuery),
+                True,
+            )
+        return None
+
+    def _wand_scored(self, q: Q.Query, k: int) -> Optional[DataFrame]:
+        """Exact top-k scoring over WAND-surviving posting blocks, or
+        None to fall back to the plain path. The restricted plan reuses
+        the exact same planner builders, so scores are identical by
+        construction — only blocks provably below the kth score are
+        skipped."""
+        cand = self._wand_candidate(q)
+        if cand is None or k <= 0:
+            return None
+        fld, term_boosts, conjunctive, apply_qn = cand
+        stats = self.index.term_stats(fld, [t for t, _ in term_boosts])
+        present = [(t, b) for t, b in term_boosts if t in stats]
+        if not present or (conjunctive and len(present) < len(term_boosts)):
+            return None  # plain path is already trivial/empty here
+        if sum(stats[t][0] for t, _ in present) < self.wand_min_postings:
+            return None
+        n = self.index.doc_count
+        term_idf = {
+            t: scoring.idf(self.similarity, n, stats[t][0])
+            for t, _ in present
+        }
+        weight = sum(
+            scoring.term_weight(self.similarity, b, term_idf[t])
+            for t, b in present
+        )
+        qn = None
+        if apply_qn and self.similarity == scoring.TFIDF and weight > 0:
+            qn = 1.0 / math.sqrt(weight)
+        if self.similarity == scoring.TFIDF:
+            term_mult = {
+                t: (b * term_idf[t] * qn if qn is not None else 1.0)
+                for t, b in present
+            }
+        else:
+            term_mult = {t: b * term_idf[t] for t, b in present}
+
+        pot = wand.block_potentials(
+            self.index, self.similarity, fld, term_idf, term_mult, conjunctive
+        )
+        p1 = wand.phase1_blocks(pot, k)
+        if not p1:
+            return None
+
+        def build_plan(block_filter):
+            # full term_boosts (not just present): the disjunction coord
+            # divides by the total clause count including zero-match
+            # clauses, exactly like the plain path
+            children = [
+                self._plan_term(fld, t, b, block_filter=block_filter)
+                for t, b in term_boosts
+            ]
+            if len(children) == 1:
+                return children[0]
+            if conjunctive:
+                return self._plan_conjunction(children)
+            return self._plan_disjunction(children, 1)
+
+        rows = (
+            build_plan(p1)
+            .df(qn)
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        if len(rows) < k:
+            return None  # too few candidates to bound theta — no pruning
+        theta = min(r["score"] for r in rows)
+        if not (theta > 0):
+            return None
+        survivors = wand.survivor_blocks(pot, theta)
+        return build_plan(survivors).df(qn)
+
     def search(self, req: SearchRequest) -> SearchResult:
         self.similarity = req.similarity
-        scored = self.matches(req.query)
+        scored = None
+        score_first_sort = (
+            len(req.sort) > 0
+            and req.sort[0] == "-_score"
+            and all(s in ("-_score", "_id", "+_id") for s in req.sort)
+        )
+        if not req.facets and req.search_after is None and score_first_sort:
+            scored = self._wand_scored(req.query, req.from_ + req.size)
+        if scored is None:
+            scored = self.matches(req.query)
         hits = scored.join(self.index.docs, "docid")
 
         sort_cols = []
@@ -583,6 +748,33 @@ class Searcher:
         out_cols = ["docid", "_id", F.col("score").alias("score")] + [
             c for c in req.fields
         ]
+        if req.search_after is not None:
+            # keyset paging (ref: collector/topn.go:88-109): keep rows
+            # strictly after the tuple in sort order — lexicographic
+            # (c1 > a1) OR (c1 = a1 AND c2 > a2) OR ..., with > flipped
+            # per-column for descending sorts. Unlike offset paging this
+            # is a pushed-down predicate: deep pages stay O(k).
+            pred = None
+            eq_prefix = None
+            for s, v in zip(req.sort, req.search_after):
+                desc = s.startswith("-")
+                name = s.lstrip("+-")
+                col = F.col("score") if name == "_score" else F.col(name)
+                after = (col < F.lit(v)) if desc else (col > F.lit(v))
+                clause = after if eq_prefix is None else eq_prefix & after
+                pred = clause if pred is None else pred | clause
+                eq_here = col == F.lit(v)
+                eq_prefix = (
+                    eq_here if eq_prefix is None else eq_prefix & eq_here
+                )
+            hits = hits.where(pred)
+            # search_after implies from=0 (ref: search_no_knn.go:75-80)
+            page = hits.orderBy(*sort_cols).limit(req.size)
+            page = page.select(*out_cols)
+            facets = {}
+            for name, freq in req.facets.items():
+                facets[name] = self._facet(hits, freq)
+            return SearchResult(hits=page, facets=facets)
         # global top-k: TakeOrderedAndProject (per-partition top-k + driver
         # merge — the collector/MultiSearch-merge analogue)
         page = hits.orderBy(*sort_cols).limit(req.from_ + req.size)
