@@ -9,12 +9,14 @@ that Catalyst optimizes. See SURVEY.md for the operator-by-operator map.
 """
 
 from .build import IndexBuilder, assign_docids, drop_index
+from .highlight import HighlightRequest
 from .index import SearchIndex
 from .mapping import FieldMapping, IndexMapping, code_corpus_mapping, documents_mapping
 from .query import parse_query
 from .search import FacetRequest, Searcher, SearchRequest
 
 __all__ = [
+    "HighlightRequest",
     "IndexBuilder",
     "SearchIndex",
     "Searcher",

@@ -31,6 +31,7 @@ from . import query as Q
 from . import scoring
 from . import wand
 from .analysis import get_analyzer
+from .highlight import HighlightRequest, highlight_text
 from .index import SearchIndex
 
 
@@ -56,6 +57,7 @@ class SearchRequest:
     facets: Dict[str, FacetRequest] = dc_field(default_factory=dict)
     similarity: str = scoring.TFIDF
     search_after: Optional[Sequence] = None
+    highlight: Optional[HighlightRequest] = None
 
 
 @dataclass
@@ -716,6 +718,98 @@ class Searcher:
         survivors = wand.survivor_blocks(pot, theta)
         return build_plan(survivors).df(qn)
 
+    # -- highlighting -----------------------------------------------------
+
+    def _query_terms(self, q: Q.Query, fld: str) -> set:
+        """Analyzed terms the query contributes on `fld` — the reference
+        derives these from term vectors; we re-derive from the query tree
+        (dictionary-expanded for prefix/wildcard/regexp/fuzzy)."""
+        out: set = set()
+
+        def expand(pred):
+            out.update(t for t, _ in self.index.expand_terms(fld, pred))
+
+        def walk(node):
+            qf = getattr(node, "field", None) or self.default_field()
+            if isinstance(node, Q.TermQuery):
+                if qf == fld:
+                    out.add(node.term)
+            elif isinstance(node, (Q.MatchQuery, Q.MatchPhraseQuery)):
+                if qf == fld:
+                    analyzer = get_analyzer(
+                        self._analyzer_for(fld, node.analyzer)
+                    )
+                    out.update(t[0] for t in analyzer.analyze(node.text))
+            elif isinstance(node, Q.PhraseQuery):
+                if qf == fld:
+                    out.update(node.terms)
+            elif isinstance(node, Q.PrefixQuery) and qf == fld:
+                expand(F.col("term").startswith(node.prefix))
+            elif isinstance(node, Q.WildcardQuery) and qf == fld:
+                expand(F.col("term").rlike(_wildcard_to_regex(node.wildcard)))
+            elif isinstance(node, Q.RegexpQuery) and qf == fld:
+                expand(F.col("term").rlike(f"^(?:{node.regexp})$"))
+            elif isinstance(node, Q.FuzzyQuery) and qf == fld:
+                pred = (
+                    F.levenshtein(F.col("term"), F.lit(node.term))
+                    <= node.fuzziness
+                )
+                if node.prefix_length > 0:
+                    pred = pred & F.col("term").startswith(
+                        node.term[: node.prefix_length]
+                    )
+                expand(pred)
+            elif isinstance(node, Q.ConjunctionQuery):
+                for c in node.conjuncts:
+                    walk(c)
+            elif isinstance(node, Q.DisjunctionQuery):
+                for c in node.disjuncts:
+                    walk(c)
+            elif isinstance(node, Q.BooleanQuery):
+                # must_not terms are excluded — they never match a hit
+                for c in list(node.must) + list(node.should):
+                    walk(c)
+
+        walk(q)
+        return out
+
+    def _apply_highlight(self, page: DataFrame, req: SearchRequest):
+        """Add <field>_fragments array columns to the (tiny) page — the
+        LoadAndHighlightFields analogue (ref: index_impl.go:659-714)."""
+        hl = req.highlight
+        if hl is None:
+            return page, []
+        fields = list(hl.fields) or [self.default_field()]
+        pre, post = hl.tags()
+
+        def make_udf(analyzer, terms):
+            @F.pandas_udf(T.ArrayType(T.StringType()))
+            def hl_udf(content: pd.Series) -> pd.Series:
+                return content.map(
+                    lambda c: highlight_text(
+                        c,
+                        analyzer,
+                        terms,
+                        hl.fragment_size,
+                        hl.max_fragments,
+                        pre,
+                        post,
+                    )
+                )
+
+            return hl_udf
+
+        extra = []
+        for fld in fields:
+            terms = self._query_terms(req.query, fld)
+            analyzer = get_analyzer(self._analyzer_for(fld, None))
+            col = f"{fld}_fragments"
+            page = page.withColumn(
+                col, make_udf(analyzer, terms)(F.col(fld))
+            )
+            extra.append(col)
+        return page, extra
+
     def search(self, req: SearchRequest) -> SearchResult:
         self.similarity = req.similarity
         scored = None
@@ -770,7 +864,8 @@ class Searcher:
             hits = hits.where(pred)
             # search_after implies from=0 (ref: search_no_knn.go:75-80)
             page = hits.orderBy(*sort_cols).limit(req.size)
-            page = page.select(*out_cols)
+            page, hl_cols = self._apply_highlight(page, req)
+            page = page.select(*out_cols, *hl_cols)
             facets = {}
             for name, freq in req.facets.items():
                 facets[name] = self._facet(hits, freq)
@@ -789,7 +884,8 @@ class Searcher:
                 .where(F.col("_rn") > req.from_)
                 .drop("_rn")
             )
-        page = page.select(*out_cols)
+        page, hl_cols = self._apply_highlight(page, req)
+        page = page.select(*out_cols, *hl_cols)
 
         facets = {}
         for name, freq in req.facets.items():
