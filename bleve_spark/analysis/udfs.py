@@ -148,14 +148,37 @@ def make_analyzed_rows_fn(field_analyzers: list, compose_all_fields=None):
                 if compose_all_fields
                 else None
             )
+            def analyze_value(analyzer, text):
+                if isinstance(text, str):
+                    return analyzer.termfreq(text)
+                if text is None:
+                    return analyzer.termfreq("")
+                if isinstance(text, (list, tuple, np.ndarray)):
+                    # array field: each element is its own Field instance
+                    # sharing the name; token freqs merge, lengths sum,
+                    # per-element positions kept as-is (restart at 1 per
+                    # element, so phrases never span elements — ref:
+                    # document/field.go:26-30, field_composite.go:118-123)
+                    total_len, merged = 0, {}
+                    for el in text:
+                        l, fr = analyzer.termfreq(
+                            el
+                            if isinstance(el, str)
+                            else ("" if el is None else str(el))
+                        )
+                        total_len += l
+                        for t, ps in fr.items():
+                            merged.setdefault(t, []).extend(ps)
+                    return total_len, {
+                        t: sorted(ps) for t, ps in merged.items()
+                    }
+                return analyzer.termfreq(str(text))
+
             for fname, analyzer in analyzers:
                 col = pdf[fname]
                 in_all = compose_all_fields and fname in compose_all_fields
                 for docid, text in zip(docids_in, col):
-                    length, freqs = analyzer.termfreq(
-                        text if isinstance(text, str) else
-                        ("" if text is None else str(text))
-                    )
+                    length, freqs = analyze_value(analyzer, text)
                     emit_field(docid, fname, length, freqs)
                     if in_all:
                         acc, alen = all_accum[int(docid)]

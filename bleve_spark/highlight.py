@@ -36,6 +36,9 @@ class HighlightRequest:
             return ANSI_PRE, ANSI_POST
         return HTML_PRE, HTML_POST
 
+    def escape_content(self) -> bool:
+        return self.style == "html"
+
 
 def term_locations(
     text: str, analyzer, terms: Set[str]
@@ -88,20 +91,27 @@ def format_fragment(
     covered: List[Tuple[int, int]],
     pre: str,
     post: str,
+    escape: bool = False,
 ) -> str:
     """Wrap covered locations in pre/post tags, with ellipses on clipped
-    edges (ref: format/html/html.go Format)."""
+    edges. In html style the document text is entity-escaped while the
+    injected tags are not (ref: format/html/html.go Format)."""
+    import html as _html
+
+    def seg(s: str) -> str:
+        return _html.escape(s, quote=False) if escape else s
+
     parts = []
     if start > 0:
         parts.append("…")
     cur = start
     for s, e in covered:
-        parts.append(text[cur:s])
+        parts.append(seg(text[cur:s]))
         parts.append(pre)
-        parts.append(text[s:e])
+        parts.append(seg(text[s:e]))
         parts.append(post)
         cur = e
-    parts.append(text[cur:end])
+    parts.append(seg(text[cur:end]))
     if end < len(text):
         parts.append("…")
     return "".join(parts)
@@ -115,6 +125,7 @@ def highlight_text(
     max_fragments: int = 1,
     pre: str = HTML_PRE,
     post: str = HTML_POST,
+    escape: bool = False,
 ) -> List[str]:
     """Full per-document pipeline: locations -> fragments -> formatted."""
     if text is None:
@@ -122,5 +133,41 @@ def highlight_text(
     locs = term_locations(text, analyzer, terms)
     frags = best_fragments(text, locs, size, max_fragments)
     return [
-        format_fragment(text, s, e, cov, pre, post) for s, e, cov in frags
+        format_fragment(text, s, e, cov, pre, post, escape)
+        for s, e, cov in frags
     ]
+
+
+def highlight_value(
+    value,
+    analyzer,
+    terms: Set[str],
+    size: int = DEFAULT_FRAGMENT_SIZE,
+    max_fragments: int = 1,
+    pre: str = HTML_PRE,
+    post: str = HTML_POST,
+    escape: bool = False,
+) -> List[str]:
+    """String or array-of-strings field value -> fragments. For arrays,
+    each element is its own Field (ref: document/field.go:26-30): matched
+    elements contribute fragments; if none match, every element yields an
+    unhighlighted fragment (mirrors whole-value output for non-matching
+    highlight fields)."""
+    if value is None:
+        return []
+    if isinstance(value, str):
+        return highlight_text(
+            value, analyzer, terms, size, max_fragments, pre, post, escape
+        )
+    matched, plain = [], []
+    for el in value:
+        if el is None:
+            continue
+        locs = term_locations(el, analyzer, terms)
+        frags = best_fragments(el, locs, size, max_fragments)
+        out = [
+            format_fragment(el, s, e, cov, pre, post, escape)
+            for s, e, cov in frags
+        ]
+        (matched if locs else plain).extend(out)
+    return matched if matched else plain

@@ -156,6 +156,14 @@ def parse_query(d: dict) -> Query:
             slop=int(d.get("slop", 0)),
         )
     if "term" in d:
+        # fuzziness turns a term query fuzzy — checked before the plain
+        # term branch, matching the reference's dispatch
+        # (ref: query/query.go ParseQuery hasFuzziness-before-term)
+        if "fuzziness" in d:
+            return FuzzyQuery(
+                boost, fld, term=d["term"], fuzziness=int(d["fuzziness"]),
+                prefix_length=int(d.get("prefix_length", 0)),
+            )
         return TermQuery(boost, fld, term=d["term"])
     if "terms" in d:
         return PhraseQuery(boost, fld, terms=d["terms"], slop=int(d.get("slop", 0)))

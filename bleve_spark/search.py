@@ -31,7 +31,7 @@ from . import query as Q
 from . import scoring
 from . import wand
 from .analysis import get_analyzer
-from .highlight import HighlightRequest, highlight_text
+from .highlight import HighlightRequest, highlight_value
 from .index import SearchIndex
 
 
@@ -58,12 +58,16 @@ class SearchRequest:
     similarity: str = scoring.TFIDF
     search_after: Optional[Sequence] = None
     highlight: Optional[HighlightRequest] = None
+    # compute the exact matched-doc count (SearchResult.total). Disables
+    # WAND pruning — a pruned scan cannot count what it skipped.
+    with_total: bool = False
 
 
 @dataclass
 class SearchResult:
     hits: DataFrame  # ordered: docid, _id, score, requested fields
     facets: Dict[str, DataFrame] = dc_field(default_factory=dict)
+    total: Optional[int] = None  # ref: search/search.go:146-176 Total
 
 
 class _Plan:
@@ -97,6 +101,8 @@ class Searcher:
     # ------------------------------------------------------------------
     def default_field(self) -> str:
         m = self.index.mapping
+        if m is not None and m.compose_all:
+            return m.default_field  # "_all" (ref: mapping/index.go:34)
         if m is not None and m.text_fields():
             return m.text_fields()[0].name
         return "content"
@@ -307,7 +313,15 @@ class Searcher:
                 base = should_df
                 should_df = None
             if base is None:
-                return self._empty()
+                if must_not:
+                    # must_not-only boolean = match_all minus exclusions
+                    # (ref bug #193 fix, searcher/search_boolean.go: nil
+                    # must/should -> match-all base searcher)
+                    base = self.index.docs.select(
+                        "docid", F.lit(1.0).alias("score")
+                    )
+                else:
+                    return self._empty()
             if should_df is not None:
                 base = (
                     base.join(
@@ -773,20 +787,43 @@ class Searcher:
         walk(q)
         return out
 
+    def _query_fields(self, q: Q.Query) -> List[str]:
+        """Fields the query explicitly targets, in first-seen order —
+        the default highlight field set when the request names none
+        (the reference highlights fields with match locations)."""
+        out: List[str] = []
+
+        def walk(node):
+            f = getattr(node, "field", None)
+            if f and f not in out:
+                out.append(f)
+            for attr in ("conjuncts", "disjuncts", "must", "should"):
+                for c in getattr(node, attr, []) or []:
+                    walk(c)
+
+        walk(q)
+        return out
+
     def _apply_highlight(self, page: DataFrame, req: SearchRequest):
         """Add <field>_fragments array columns to the (tiny) page — the
         LoadAndHighlightFields analogue (ref: index_impl.go:659-714)."""
         hl = req.highlight
         if hl is None:
             return page, []
-        fields = list(hl.fields) or [self.default_field()]
+        fields = (
+            list(hl.fields)
+            or self._query_fields(req.query)
+            or [self.default_field()]
+        )
+        fields = [f for f in fields if f in page.columns]
         pre, post = hl.tags()
+        escape = hl.escape_content()
 
         def make_udf(analyzer, terms):
             @F.pandas_udf(T.ArrayType(T.StringType()))
             def hl_udf(content: pd.Series) -> pd.Series:
                 return content.map(
-                    lambda c: highlight_text(
+                    lambda c: highlight_value(
                         c,
                         analyzer,
                         terms,
@@ -794,6 +831,7 @@ class Searcher:
                         hl.max_fragments,
                         pre,
                         post,
+                        escape,
                     )
                 )
 
@@ -818,10 +856,16 @@ class Searcher:
             and req.sort[0] == "-_score"
             and all(s in ("-_score", "_id", "+_id") for s in req.sort)
         )
-        if not req.facets and req.search_after is None and score_first_sort:
+        if (
+            not req.facets
+            and not req.with_total
+            and req.search_after is None
+            and score_first_sort
+        ):
             scored = self._wand_scored(req.query, req.from_ + req.size)
         if scored is None:
             scored = self.matches(req.query)
+        total = scored.count() if req.with_total else None
         hits = scored.join(self.index.docs, "docid")
 
         sort_cols = []
@@ -869,7 +913,7 @@ class Searcher:
             facets = {}
             for name, freq in req.facets.items():
                 facets[name] = self._facet(hits, freq)
-            return SearchResult(hits=page, facets=facets)
+            return SearchResult(hits=page, facets=facets, total=total)
         # global top-k: TakeOrderedAndProject (per-partition top-k + driver
         # merge — the collector/MultiSearch-merge analogue)
         page = hits.orderBy(*sort_cols).limit(req.from_ + req.size)
@@ -890,7 +934,7 @@ class Searcher:
         facets = {}
         for name, freq in req.facets.items():
             facets[name] = self._facet(hits, freq)
-        return SearchResult(hits=page, facets=facets)
+        return SearchResult(hits=page, facets=facets, total=total)
 
     def _facet(self, hits: DataFrame, freq: FacetRequest) -> DataFrame:
         """Terms / numeric-range / date-range facets
