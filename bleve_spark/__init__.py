@@ -8,6 +8,7 @@ blocks, and queries as declarative DataFrame plans (joins/unions/top-k)
 that Catalyst optimizes. See SURVEY.md for the operator-by-operator map.
 """
 
+from .alias import IndexAlias
 from .build import IndexBuilder, assign_docids, drop_index
 from .highlight import HighlightRequest
 from .index import SearchIndex
@@ -17,6 +18,7 @@ from .search import FacetRequest, Searcher, SearchRequest
 
 __all__ = [
     "HighlightRequest",
+    "IndexAlias",
     "IndexBuilder",
     "SearchIndex",
     "Searcher",

@@ -17,6 +17,10 @@ from pyspark.sql import types as T
 
 from . import get_analyzer
 
+# position offset between array-field elements; any realistic slop is
+# smaller, so cross-element phrase chains can never close
+ARRAY_POSITION_STRIDE = 1 << 20
+
 TOKEN_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -155,20 +159,26 @@ def make_analyzed_rows_fn(field_analyzers: list, compose_all_fields=None):
                     return analyzer.termfreq("")
                 if isinstance(text, (list, tuple, np.ndarray)):
                     # array field: each element is its own Field instance
-                    # sharing the name; token freqs merge, lengths sum,
-                    # per-element positions kept as-is (restart at 1 per
-                    # element, so phrases never span elements — ref:
-                    # document/field.go:26-30, field_composite.go:118-123)
+                    # sharing the name; token freqs merge, lengths sum.
+                    # Element k's positions are offset by k*STRIDE — the
+                    # stand-in for the reference's ArrayPositions equality
+                    # check (search_phrase.go:414): position deltas across
+                    # elements exceed any phrase slop, so phrases never
+                    # span elements (ref: document/field.go:26-30,
+                    # field_composite.go:118-123)
                     total_len, merged = 0, {}
-                    for el in text:
+                    for k, el in enumerate(text):
                         l, fr = analyzer.termfreq(
                             el
                             if isinstance(el, str)
                             else ("" if el is None else str(el))
                         )
                         total_len += l
+                        off = k * ARRAY_POSITION_STRIDE
                         for t, ps in fr.items():
-                            merged.setdefault(t, []).extend(ps)
+                            merged.setdefault(t, []).extend(
+                                p + off for p in ps
+                            )
                     return total_len, {
                         t: sorted(ps) for t, ps in merged.items()
                     }

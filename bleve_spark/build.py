@@ -336,6 +336,21 @@ class IndexBuilder:
                 c for c in corpus.columns if c != "_id"
             ]  # stored plane = the corpus columns themselves (docvalues too)
             docs = keyed.join(rank, "_id")
+            # Range-repartition the write by docid: (a) the broadcast join
+            # would otherwise inherit the *input's* file layout, which at
+            # small scale can be a handful of unsplittable row groups —
+            # the downstream analysis stage then runs one straggler-bound
+            # wave instead of 4 balanced waves per core; (b) docid-sorted
+            # files give query-time stored-field fetches row-group min/max
+            # pruning on docid. 4 tasks/core here, byte-based at TB scale
+            # where the input is already thousands of splits.
+            out_parts = max(
+                4 * self.spark.sparkContext.defaultParallelism,
+                corpus.rdd.getNumPartitions(),
+            )
+            docs = docs.repartitionByRange(
+                out_parts, "docid"
+            ).sortWithinPartitions("docid")
             self._write(docs.select("docid", "_id", *stored), "docs")
             if hasattr(assigned, "_bleve_unpersist"):
                 assigned._bleve_unpersist()

@@ -57,6 +57,7 @@ class SearchRequest:
     facets: Dict[str, FacetRequest] = dc_field(default_factory=dict)
     similarity: str = scoring.TFIDF
     search_after: Optional[Sequence] = None
+    search_before: Optional[Sequence] = None
     highlight: Optional[HighlightRequest] = None
     # compute the exact matched-doc count (SearchResult.total). Disables
     # WAND pruning — a pruned scan cannot count what it skipped.
@@ -353,62 +354,81 @@ class Searcher:
     def _plan_phrase(
         self,
         fld: str,
-        slot_terms: List[Tuple[str, int]],
+        slot_terms: List[Tuple[Tuple[str, ...], int]],
         boost: float,
         slop: int,
     ) -> _Plan:
-        """Phrase = conjunction of unique-term scorers + position-chain
-        check (ref: searcher/search_phrase.go:35-440). slot_terms is
-        [(term, analyzed_position)] — stop-filter position gaps carry
-        through as larger deltas."""
-        uniq = list(dict.fromkeys(t for t, _ in slot_terms))
-        stats = self.index.term_stats(fld, uniq)
-        if len(stats) < len(uniq):
+        """(Multi-)phrase = conjunction of per-slot searchers (a slot with
+        alternatives is a disjunction, ref: searcher/search_phrase.go:
+        80-140 NewMultiPhraseSearcher) + position-chain check (ref:
+        findPhrasePaths, search_phrase.go:356-440). slot_terms is
+        [(alternative terms, analyzed_position)] — stop-filter position
+        gaps carry through as larger deltas; array-element position
+        strides keep chains from spanning elements (the ArrayPositions
+        equality stand-in, search_phrase.go:414)."""
+        slots = [
+            (tuple(dict.fromkeys(alts)), pos) for alts, pos in slot_terms
+        ]
+        all_terms = list(
+            dict.fromkeys(t for alts, _ in slots for t in alts)
+        )
+        stats = self.index.term_stats(fld, all_terms)
+        # conjunction: every slot needs at least one indexed alternative
+        if any(
+            not any(t in stats for t in alts) for alts, _ in slots
+        ):
             return _Plan(0.0, lambda qn: self._empty())
+        present = [t for t in all_terms if t in stats]
         n = self.index.doc_count
         avg_len = self.index.avg_len(fld)
-        term_idf = {t: scoring.idf(self.similarity, n, stats[t][0]) for t in uniq}
+        term_idf = {
+            t: scoring.idf(self.similarity, n, stats[t][0]) for t in present
+        }
         weight = sum(
             scoring.term_weight(self.similarity, boost, i)
             for i in term_idf.values()
         )
         deltas = [
-            slot_terms[i][1] - slot_terms[i - 1][1]
-            for i in range(1, len(slot_terms))
+            slots[i][1] - slots[i - 1][1] for i in range(1, len(slots))
         ]
-        nslots = len(slot_terms)
+        nslots = len(slots)
 
         def build(qn):
-            decoded = self.index.decoded(fld, uniq, need_positions=True)
-            # fan decoded term rows out to their phrase slots
-            slot_map = {}
-            for i, (t, _p) in enumerate(slot_terms):
-                slot_map.setdefault(t, []).append(i)
+            decoded = self.index.decoded(fld, present, need_positions=True)
+            # fan decoded term rows out to their phrase slots (a term may
+            # serve several slots; the join duplicates it per slot)
             slot_entries = [
-                (t, i) for t, slots in slot_map.items() for i in slots
+                (t, i, len(alts))
+                for i, (alts, _p) in enumerate(slots)
+                for t in alts
+                if t in stats
             ]
             slot_df = self.index.spark.createDataFrame(
-                pd.DataFrame(slot_entries, columns=["term", "slot"])
+                pd.DataFrame(
+                    slot_entries, columns=["term", "slot", "nalts"]
+                )
             )
             parts = decoded.join(F.broadcast(slot_df), "term")
             g = parts.groupBy("docid").agg(
                 F.collect_list(F.struct("slot", "positions")).alias("slots"),
-                F.count("*").alias("nrows"),
-            ).where(F.col("nrows") >= nslots)
+                F.count_distinct(F.col("slot")).alias("nslots_present"),
+            ).where(F.col("nslots_present") >= nslots)
 
             @F.pandas_udf(T.BooleanType())
             def phrase_match(slots_col: pd.Series) -> pd.Series:
-                def check(slots):
-                    pos_by_slot = {}
-                    for s in slots:
-                        pos_by_slot[s["slot"]] = list(s["positions"])
+                def check(slot_rows):
+                    pos_by_slot: dict = {}
+                    for s in slot_rows:
+                        pos_by_slot.setdefault(s["slot"], set()).update(
+                            s["positions"]
+                        )
                     if len(pos_by_slot) < nslots:
                         return False
                     # iterative chain intersection (exact) / DFS (slop)
                     if slop == 0:
                         cur = set(pos_by_slot[0])
                         for i, d in enumerate(deltas, 1):
-                            cur = {p + d for p in cur} & set(pos_by_slot[i])
+                            cur = {p + d for p in cur} & pos_by_slot[i]
                             if not cur:
                                 return False
                         return True
@@ -432,14 +452,18 @@ class Searcher:
                 return slots_col.map(check)
 
             matched = g.where(phrase_match(F.col("slots"))).select("docid")
-            # conjunction-style score over unique terms
+            # conjunction of per-slot scores; a multi-alternative slot
+            # scores like a disjunction (sum x matched/total coord in
+            # tfidf mode, ref: scorer/scorer_disjunction.go:65-66)
             idf_map = F.create_map(
                 *[x for t, i in term_idf.items() for x in (F.lit(t), F.lit(i))]
             )
-            scores = (
-                decoded.dropDuplicates(["docid", "term"])
-                .select(
+            per_slot = (
+                parts.select(
                     "docid",
+                    "slot",
+                    "nalts",
+                    "term",
                     self._score_col_dynamic_idf(
                         F.col("tf"),
                         F.col("length"),
@@ -449,12 +473,21 @@ class Searcher:
                         avg_len,
                     ).alias("s"),
                 )
-                .groupBy("docid")
-                .agg(F.sum("s").alias("score"))
+                .groupBy("docid", "slot", "nalts")
+                .agg(
+                    F.sum("s").alias("slot_sum"),
+                    F.count_distinct(F.col("term")).alias("nmatch"),
+                )
+            )
+            slot_score = F.col("slot_sum")
+            if self.similarity == scoring.TFIDF:
+                slot_score = slot_score * F.col("nmatch") / F.col("nalts")
+            scores = per_slot.groupBy("docid").agg(
+                F.sum(slot_score).alias("score")
             )
             return matched.join(scores, "docid").select("docid", "score")
 
-        return _Plan(weight, build, n_leaves=len(uniq))
+        return _Plan(weight, build, n_leaves=len(present))
 
     # -- query dispatch --------------------------------------------------
 
@@ -485,10 +518,18 @@ class Searcher:
             tokens = analyzer.analyze(q.text)
             if not tokens:
                 return _Plan(0.0, lambda qn: self._empty())
-            slot_terms = [(t[0], t[1]) for t in tokens]
+            slot_terms = [((t[0],), t[1]) for t in tokens]
             return self._plan_phrase(fld, slot_terms, b, q.slop)
         if isinstance(q, Q.PhraseQuery):
-            slot_terms = [(t, i + 1) for i, t in enumerate(q.terms)]
+            # terms entries are strings (phrase) or lists of alternatives
+            # per slot (multi_phrase, ref: query/multi_phrase.go)
+            slot_terms = [
+                (
+                    tuple(t) if isinstance(t, (list, tuple)) else (t,),
+                    i + 1,
+                )
+                for i, t in enumerate(q.terms)
+            ]
             return self._plan_phrase(fld, slot_terms, b, q.slop)
         if isinstance(q, Q.PrefixQuery):
             terms = self.index.expand_terms(
@@ -756,7 +797,11 @@ class Searcher:
                     out.update(t[0] for t in analyzer.analyze(node.text))
             elif isinstance(node, Q.PhraseQuery):
                 if qf == fld:
-                    out.update(node.terms)
+                    for t in node.terms:
+                        if isinstance(t, (list, tuple)):
+                            out.update(t)
+                        else:
+                            out.add(t)
             elif isinstance(node, Q.PrefixQuery) and qf == fld:
                 expand(F.col("term").startswith(node.prefix))
             elif isinstance(node, Q.WildcardQuery) and qf == fld:
@@ -848,6 +893,28 @@ class Searcher:
             extra.append(col)
         return page, extra
 
+    def _sort_key_col(self, spec: dict, df: DataFrame) -> Column:
+        """Sort-spec -> key column (ref: search/sort.go SortField/
+        SortScore/SortDocID). Multi-valued (array) fields pick their
+        min/max element per `mode` (sort.go SortFieldMode)."""
+        if spec["by"] == "score":
+            return F.col("score")
+        if spec["by"] == "id":
+            return F.col("_id")
+        name = spec["field"]
+        col = F.col(name)
+        try:
+            dt = df.schema[name].dataType
+        except Exception:
+            dt = None
+        if isinstance(dt, T.ArrayType):
+            col = (
+                F.array_max(col)
+                if spec.get("mode") == "max"
+                else F.array_min(col)
+            )
+        return col
+
     def search(self, req: SearchRequest) -> SearchResult:
         self.similarity = req.similarity
         scored = None
@@ -868,46 +935,42 @@ class Searcher:
         total = scored.count() if req.with_total else None
         hits = scored.join(self.index.docs, "docid")
 
-        sort_cols = []
-        for s in req.sort:
-            desc = s.startswith("-")
-            name = s.lstrip("+-")
-            col = (
-                F.col("score")
-                if name == "_score"
-                else F.col("_id")
-                if name == "_id"
-                else F.col(name)
-            )
-            sort_cols.append(
-                col.desc_nulls_last() if desc else col.asc_nulls_last()
-            )
+        specs = _parse_sort_specs(req.sort)
+        key_cols = [self._sort_key_col(sp, hits) for sp in specs]
+        sort_cols = [
+            _order_col(c, sp["desc"], sp["missing"])
+            for c, sp in zip(key_cols, specs)
+        ]
 
         out_cols = ["docid", "_id", F.col("score").alias("score")] + [
             c for c in req.fields
         ]
-        if req.search_after is not None:
+        if req.search_after is not None or req.search_before is not None:
             # keyset paging (ref: collector/topn.go:88-109): keep rows
-            # strictly after the tuple in sort order — lexicographic
-            # (c1 > a1) OR (c1 = a1 AND c2 > a2) OR ..., with > flipped
-            # per-column for descending sorts. Unlike offset paging this
-            # is a pushed-down predicate: deep pages stay O(k).
-            pred = None
-            eq_prefix = None
-            for s, v in zip(req.sort, req.search_after):
-                desc = s.startswith("-")
-                name = s.lstrip("+-")
-                col = F.col("score") if name == "_score" else F.col(name)
-                after = (col < F.lit(v)) if desc else (col > F.lit(v))
-                clause = after if eq_prefix is None else eq_prefix & after
-                pred = clause if pred is None else pred | clause
-                eq_here = col == F.lit(v)
-                eq_prefix = (
-                    eq_here if eq_prefix is None else eq_prefix & eq_here
+            # strictly after/before the tuple in sort order —
+            # lexicographic (c1 > a1) OR (c1 = a1 AND c2 > a2) OR ...,
+            # with > flipped per-column for descending sorts. Unlike
+            # offset paging this is a pushed-down predicate: deep pages
+            # stay O(k). search_after/before imply from=0
+            # (ref: search_no_knn.go:48-85, index_impl.go:448-461).
+            if req.search_before is not None:
+                # reverse-execute then restore order, like the reference
+                pred = _keyset_pred(
+                    specs, key_cols, req.search_before, flip=True
                 )
-            hits = hits.where(pred)
-            # search_after implies from=0 (ref: search_no_knn.go:75-80)
-            page = hits.orderBy(*sort_cols).limit(req.size)
+                flipped = [
+                    _order_col(
+                        c,
+                        not sp["desc"],
+                        "first" if sp["missing"] == "last" else "last",
+                    )
+                    for c, sp in zip(key_cols, specs)
+                ]
+                page = hits.where(pred).orderBy(*flipped).limit(req.size)
+                page = page.orderBy(*sort_cols)
+            else:
+                pred = _keyset_pred(specs, key_cols, req.search_after)
+                page = hits.where(pred).orderBy(*sort_cols).limit(req.size)
             page, hl_cols = self._apply_highlight(page, req)
             page = page.select(*out_cols, *hl_cols)
             facets = {}
@@ -979,6 +1042,82 @@ class Searcher:
             .orderBy(F.desc("count"), "term")
             .limit(freq.size)
         )
+
+
+def _parse_sort_specs(sort: Sequence) -> List[dict]:
+    """Normalize sort entries — strings ("-name", "_score") or dicts
+    ({"by": "field", "field": ..., "desc": ..., "missing": "first",
+    "mode": "min"}) — into one spec shape (ref: search/sort.go:
+    ParseSearchSortObj/ParseSearchSortString, sort.go:129-131,310-343)."""
+    specs = []
+    for s in sort:
+        if isinstance(s, str):
+            desc = s.startswith("-")
+            name = s.lstrip("+-")
+            by = (
+                "score"
+                if name == "_score"
+                else "id"
+                if name == "_id"
+                else "field"
+            )
+            specs.append(
+                {
+                    "by": by,
+                    "field": name,
+                    "desc": desc,
+                    "missing": "last",
+                    "mode": "min",
+                }
+            )
+        else:
+            d = dict(s)
+            specs.append(
+                {
+                    "by": d.get("by", "field"),
+                    "field": d.get("field"),
+                    "desc": bool(d.get("desc", False)),
+                    "missing": d.get("missing", "last"),
+                    "mode": d.get("mode", "min"),
+                }
+            )
+    return specs
+
+
+def _order_col(col: Column, desc: bool, missing: str) -> Column:
+    """Direction + missing-value placement (ref: sort.go missing
+    first/last semantics — default last in either direction)."""
+    if desc:
+        return (
+            col.desc_nulls_first() if missing == "first" else col.desc_nulls_last()
+        )
+    return col.asc_nulls_first() if missing == "first" else col.asc_nulls_last()
+
+
+def _keyset_pred(specs, key_cols, values, flip: bool = False) -> Column:
+    """Lexicographic strictly-after predicate over the sort tuple; with
+    flip=True, strictly-before (reverse execution for SearchBefore,
+    ref: index_impl.go:448-461). NULL sort keys participate per their
+    missing-first/last placement: a missing-last row comes after every
+    non-null anchor, so `after` must keep it."""
+    pred = None
+    eq_prefix = None
+    for spec, col, v in zip(specs, key_cols, values):
+        if spec["by"] == "score" and isinstance(v, str):
+            v = float(v)  # the wire format carries sort keys as strings
+        lit = F.lit(v)
+        desc = spec["desc"] != flip
+        nxt = (col < lit) if desc else (col > lit)
+        # nulls land after the anchor when they sort to the end of the
+        # effective iteration order (flip reverses that order)
+        nulls_after = (spec["missing"] == "last") != flip
+        if nulls_after:
+            nxt = nxt | col.isNull()
+        clause = nxt if eq_prefix is None else eq_prefix & nxt
+        pred = clause if pred is None else pred | clause
+        eq_here = col == lit
+        eq_prefix = eq_here if eq_prefix is None else eq_prefix & eq_here
+    return pred
 
 
 def _wildcard_to_regex(w: str) -> str:
