@@ -569,9 +569,124 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+# -- round-1 late additions: WAND top-k, multi-phrase, keyset paging,
+#    term locations, highlight ------------------------------------------
+
+
+def _q_ft_wand_topk(spark, sf_dir):
+    """Block-max WAND forced ON; the oracle scores the same disjunction
+    exhaustively — a driver-checked proof that pruning is exact."""
+    s = Searcher(_doc_index(spark, sf_dir), wand_min_postings=0)
+    q = Q.DisjunctionQuery(
+        disjuncts=[
+            Q.TermQuery(field="text", term="spark"),
+            Q.TermQuery(field="text", term="merge"),
+        ]
+    )
+    res = s.search(
+        SearchRequest(query=q, size=10, fields=("doc_id",))
+    )
+    return res.hits.select(
+        "doc_id", r4(F.col("score")).alias("score_r")
+    )
+
+
+_SQL_FT_WAND_TOPK = (
+    _SQL_FT_DISJ.strip()
+    + " ORDER BY score_r DESC, cast(doc_id AS varchar) LIMIT 10"
+)
+
+
+def _q_ft_multi_phrase(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    q = Q.PhraseQuery(
+        field="text", terms=[["batch", "small"], ["stream"]]
+    )
+    return _all_hits(s, q, F.col("doc_id"))
+
+
+_SQL_FT_MULTI_PHRASE = f"""
+WITH {_TOKS}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM toks a JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+WHERE a.term IN ('batch','small') AND b.term='stream'
+"""
+
+
+def _q_ft_search_after(spark, sf_dir):
+    """Keyset paging: page of 10 strictly after (n_chars=300, doc_id='')."""
+    s = _searcher(spark, sf_dir)
+    res = s.search(
+        SearchRequest(
+            query=Q.MatchAllQuery(),
+            size=10,
+            sort=[{"by": "field", "field": "n_chars"}, "_id"],
+            search_after=[300, ""],
+            fields=("doc_id", "n_chars"),
+        )
+    )
+    return res.hits.select("doc_id", "n_chars")
+
+
+_SQL_FT_SEARCH_AFTER = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > 300 OR (n_chars = 300 AND cast(doc_id AS varchar) > '')
+ORDER BY n_chars, cast(doc_id AS varchar) LIMIT 10
+"""
+
+
+def _q_ft_locations(spark, sf_dir):
+    """Term locations (IncludeLocations): every (doc, position) of the
+    term — cross-checked against the oracle's token-position CTE."""
+    s = _searcher(spark, sf_dir)
+    res = s.search(
+        SearchRequest(
+            query=Q.TermQuery(field="text", term="spark"),
+            size=1_000_000,
+            fields=("doc_id",),
+            include_locations=True,
+        )
+    )
+    locs = res.hits.select(
+        "doc_id",
+        F.explode(F.col("locations")["text"]["spark"]).alias("loc"),
+    )
+    return locs.select("doc_id", F.col("loc.pos").alias("pos"))
+
+
+_SQL_FT_LOCATIONS = f"""
+WITH {_TOKS}
+SELECT doc_id, pos FROM toks WHERE term='spark'
+"""
+
+
+def _q_ft_highlight(spark, sf_dir):
+    """Highlight fragments for the top hits (rows-only: fragment layout
+    has no SQL equivalent)."""
+    from bleve_spark import HighlightRequest
+
+    s = _searcher(spark, sf_dir)
+    res = s.search(
+        SearchRequest(
+            query=Q.TermQuery(field="text", term="spark"),
+            size=10,
+            fields=("doc_id",),
+            highlight=HighlightRequest(fields=["text"]),
+        )
+    )
+    return res.hits.select(
+        "doc_id", F.col("text_fragments")[0].alias("fragment")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
+    "ft_wand_topk": (_q_ft_wand_topk, _SQL_FT_WAND_TOPK),
+    "ft_multi_phrase": (_q_ft_multi_phrase, _SQL_FT_MULTI_PHRASE),
+    "ft_search_after": (_q_ft_search_after, _SQL_FT_SEARCH_AFTER),
+    "ft_locations": (_q_ft_locations, _SQL_FT_LOCATIONS),
+    "ft_highlight": (_q_ft_highlight, None),
     "ft_term_tfidf": (_q_ft_term_tfidf, _SQL_FT_TERM_TFIDF),
     "ft_term_bm25": (_q_ft_term_bm25, _SQL_FT_TERM_BM25),
     "ft_bool_conj": (_q_ft_bool_conj, _SQL_FT_BOOL),

@@ -162,28 +162,38 @@ def measure_core_slowdown(n_busy: int) -> float:
             ).stdout
         )
 
-    idle = min(single() for _ in range(2))
-    burn = subprocess.Popen(
-        [
-            "taskset",
-            "-c",
-            f"1-{n_busy - 1}",
-            sys.executable,
-            "-c",
-            "import multiprocessing as mp\nimport itertools\n"
-            "def f(_):\n  x=0\n  for i in itertools.count(): x+=i*i\n"
-            f"mp.Pool({n_busy - 1}).map(f, range({n_busy - 1}))",
-        ]
-    )
-    time.sleep(2)
-    try:
-        loaded = min(single() for _ in range(2))
-    finally:
-        burn.kill()
-        subprocess.run(
-            ["pkill", "-f", "itertools.count"], capture_output=True
+    def burners():
+        return subprocess.Popen(
+            [
+                "taskset",
+                "-c",
+                f"1-{n_busy - 1}",
+                sys.executable,
+                "-c",
+                "import multiprocessing as mp\nimport itertools\n"
+                "def f(_):\n  x=0\n  for i in itertools.count(): x+=i*i\n"
+                f"mp.Pool({n_busy - 1}).map(f, range({n_busy - 1}))",
+            ]
         )
-    return round(loaded / idle, 3)
+
+    # adjacent idle/loaded pairs, median ratio: the host's background
+    # drift moves both sides of a pair together, so the ratio survives
+    # noise a single pair would not
+    ratios = []
+    for _ in range(3):
+        idle = single()
+        b = burners()
+        time.sleep(1.5)
+        try:
+            loaded = single()
+        finally:
+            b.kill()
+            subprocess.run(
+                ["pkill", "-f", "itertools.count"], capture_output=True
+            )
+        ratios.append(loaded / idle)
+        time.sleep(1)
+    return round(statistics.median(ratios), 3)
 
 
 def timed(fn, reps=QUERY_REPS):

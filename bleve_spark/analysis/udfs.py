@@ -103,7 +103,10 @@ def make_analyzed_rows_fn(field_analyzers: list, compose_all_fields=None):
     One extra row per (doc, field) with term=NULL carries the analyzed
     length for the norms table (no extra scan, no shuffle).
 
-    field_analyzers: [(field_name, analyzer_name)].
+    field_analyzers: [(column_name, analyzer_name)] or
+    [(column_name, analyzer_name, emitted_field_name)] — the 3-tuple form
+    lets dotted-path fields ride through mapInPandas under shielded
+    column names while postings keep the user-facing dotted field name.
     compose_all_fields: if set, also emit a `_all` composite field that
     merges those fields' term freqs per doc (tf summed, positions merged
     sorted, length summed — ref: document/field_composite.go:103-131).
@@ -115,7 +118,10 @@ def make_analyzed_rows_fn(field_analyzers: list, compose_all_fields=None):
     def run(batches):
         from . import get_analyzer
 
-        analyzers = [(f, get_analyzer(a)) for f, a in field_analyzers]
+        analyzers = [
+            (fa[0], get_analyzer(fa[1]), fa[2] if len(fa) > 2 else fa[0])
+            for fa in field_analyzers
+        ]
         for pdf in batches:
             docids_in = pdf["docid"].to_numpy()
             out_docid = []
@@ -184,8 +190,8 @@ def make_analyzed_rows_fn(field_analyzers: list, compose_all_fields=None):
                     }
                 return analyzer.termfreq(str(text))
 
-            for fname, analyzer in analyzers:
-                col = pdf[fname]
+            for cname, analyzer, fname in analyzers:
+                col = pdf[cname]
                 in_all = compose_all_fields and fname in compose_all_fields
                 for docid, text in zip(docids_in, col):
                     length, freqs = analyze_value(analyzer, text)

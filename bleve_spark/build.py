@@ -189,6 +189,11 @@ def assign_docids(
     # 4x parallelism: docs parquet gets enough files that the downstream
     # analysis stage is well-balanced (stragglers dominate at 1 task/core)
     n_partitions = n_partitions or 4 * spark.sparkContext.defaultParallelism
+    # dotted-path columns (flattened nested fields) break mapInPandas
+    # schema resolution; shield them behind temp names and restore after
+    dotted = {c: c.replace(".", "\x01") for c in df.columns if "." in c}
+    if dotted:
+        df = df.withColumnsRenamed(dotted)
     keyed = df.withColumn("_id", id_expr)
     sorted_df = keyed.repartitionByRange(n_partitions, "_id").sortWithinPartitions(
         "_id"
@@ -227,6 +232,10 @@ def assign_docids(
             yield pdf
 
     assigned = with_pid.mapInPandas(assign, out_schema)
+    if dotted:
+        assigned = assigned.withColumnsRenamed(
+            {safe: orig for orig, safe in dotted.items()}
+        )
     assigned._bleve_unpersist = sorted_df.unpersist  # release after write
     return assigned
 
@@ -324,36 +333,32 @@ class IndexBuilder:
             t0 = time.time()
             if id_expr is None:
                 id_expr = F.col("_id")
-            # rank ONLY the _id projection through the Python two-pass
-            # (tiny rows), then join the ranks back to the full corpus
-            # JVM-side — the content column never round-trips through
-            # Python and moves in exactly one shuffle.
-            ids = corpus.select(id_expr.alias("_id"))
-            assigned = assign_docids(ids, F.col("_id"))
-            rank = assigned.select("docid", "_id")
             keyed = corpus.withColumn("_id", id_expr)
             stored = [
                 c for c in corpus.columns if c != "_id"
             ]  # stored plane = the corpus columns themselves (docvalues too)
-            docs = keyed.join(rank, "_id")
-            # Range-repartition the write by docid: (a) the broadcast join
-            # would otherwise inherit the *input's* file layout, which at
-            # small scale can be a handful of unsplittable row groups —
-            # the downstream analysis stage then runs one straggler-bound
-            # wave instead of 4 balanced waves per core; (b) docid-sorted
-            # files give query-time stored-field fetches row-group min/max
-            # pruning on docid. 4 tasks/core here, byte-based at TB scale
-            # where the input is already thousands of splits.
+            # One content shuffle total: the whole corpus goes through the
+            # two-pass range ranking (sample -> range exchange on _id ->
+            # per-partition counts -> offset+local index). The output is
+            # _id/docid-sorted across 4-tasks-per-core partitions, so (a)
+            # the downstream analysis stage load-balances instead of
+            # inheriting the input's row-group layout, and (b) query-time
+            # stored-field fetches get row-group min/max pruning on docid.
             out_parts = max(
                 4 * self.spark.sparkContext.defaultParallelism,
                 corpus.rdd.getNumPartitions(),
             )
-            docs = docs.repartitionByRange(
-                out_parts, "docid"
-            ).sortWithinPartitions("docid")
-            self._write(docs.select("docid", "_id", *stored), "docs")
-            if hasattr(assigned, "_bleve_unpersist"):
-                assigned._bleve_unpersist()
+            docs = assign_docids(keyed, F.col("_id"), n_partitions=out_parts)
+            # backtick-quote: dotted-path field names (flattened nested
+            # fields, e.g. manages.reports) are plain column names here
+            self._write(
+                docs.select(
+                    "docid", "_id", *[F.col(f"`{c}`") for c in stored]
+                ),
+                "docs",
+            )
+            if hasattr(docs, "_bleve_unpersist"):
+                docs._bleve_unpersist()
             self._mark_stage("docs", fingerprint)
             report.add("docs", _parquet_rows(self._stage_dir("docs")), (time.time() - t0) * 1e3)
 
@@ -370,8 +375,18 @@ class IndexBuilder:
         text_fields = self.mapping.text_fields()
         if not (resume and self._stage_done("analyzed", fingerprint)):
             t0 = time.time()
+            # dotted-path fields ride through mapInPandas under shielded
+            # column names; postings keep the user-facing dotted name
+            safe = {
+                c: c.replace(".", "\x01") for c in docs.columns if "." in c
+            }
+            docs_in = docs.withColumnsRenamed(safe) if safe else docs
             field_analyzers = [
-                (fm.name, self.mapping.analyzer_for(fm.name))
+                (
+                    safe.get(fm.name, fm.name),
+                    self.mapping.analyzer_for(fm.name),
+                    fm.name,
+                )
                 for fm in text_fields
             ]
             compose = (
@@ -381,7 +396,7 @@ class IndexBuilder:
                 if self.mapping.compose_all
                 else None
             )
-            analyzed = docs.mapInPandas(
+            analyzed = docs_in.mapInPandas(
                 make_analyzed_rows_fn(field_analyzers, compose),
                 ANALYZED_ROW_SCHEMA,
             )

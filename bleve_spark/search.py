@@ -62,6 +62,9 @@ class SearchRequest:
     # compute the exact matched-doc count (SearchResult.total). Disables
     # WAND pruning — a pruned scan cannot count what it skipped.
     with_total: bool = False
+    # attach per-hit term locations (ref: SearchRequest.IncludeLocations,
+    # search/search.go DocumentMatch.Locations)
+    include_locations: bool = False
 
 
 @dataclass
@@ -501,6 +504,9 @@ class Searcher:
             tokens = analyzer.analyze(q.text)
             if not tokens:
                 return _Plan(0.0, lambda qn: self._empty())
+            # one dictionary lookup for all terms; per-term planners then
+            # hit the memo instead of issuing N sequential driver jobs
+            self.index.term_stats(fld, [t[0] for t in tokens])
             if q.fuzziness > 0:
                 children = [
                     self._plan_fuzzy(fld, t[0], q.fuzziness, q.prefix_length, b)
@@ -603,12 +609,15 @@ class Searcher:
         if isinstance(q, Q.MatchNoneQuery):
             return _Plan(0.0, lambda qn: self._empty())
         if isinstance(q, Q.ConjunctionQuery):
+            self._prefetch_term_stats(q.conjuncts)
             return self._plan_conjunction([self.plan(c) for c in q.conjuncts])
         if isinstance(q, Q.DisjunctionQuery):
+            self._prefetch_term_stats(q.disjuncts)
             return self._plan_disjunction(
                 [self.plan(c) for c in q.disjuncts], q.min
             )
         if isinstance(q, Q.BooleanQuery):
+            self._prefetch_term_stats(q.must + q.should + q.must_not)
             return self._plan_boolean(
                 [self.plan(c) for c in q.must],
                 [self.plan(c) for c in q.should],
@@ -616,6 +625,18 @@ class Searcher:
                 q.min_should,
             )
         raise NotImplementedError(type(q).__name__)
+
+    def _prefetch_term_stats(self, children):
+        """Warm the (field, term) stats memo with ONE dictionary lookup
+        per field for all sibling term leaves."""
+        by_field: Dict[str, List[str]] = {}
+        for c in children:
+            if isinstance(c, Q.TermQuery):
+                by_field.setdefault(
+                    c.field or self.default_field(), []
+                ).append(c.term)
+        for f, ts in by_field.items():
+            self.index.term_stats(f, ts)
 
     def _plan_fuzzy(
         self, fld: str, term: str, fuzziness: int, prefix_len: int, boost: float
@@ -915,6 +936,93 @@ class Searcher:
             )
         return col
 
+    LOCATIONS_TYPE = T.MapType(
+        T.StringType(),
+        T.MapType(
+            T.StringType(),
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("pos", T.IntegerType()),
+                        T.StructField("start", T.IntegerType()),
+                        T.StructField("end", T.IntegerType()),
+                        T.StructField(
+                            "array_positions", T.ArrayType(T.LongType())
+                        ),
+                    ]
+                )
+            ),
+        ),
+    )
+
+    def _apply_locations(self, page: DataFrame, req: SearchRequest):
+        """Add a `locations` column: field -> term -> [{pos, start, end,
+        array_positions}] (ref: search/search.go:146-176 Locations,
+        employee suite expectations). Like the reference, offsets are
+        BYTE offsets into the field value; positions restart per array
+        element with array_positions identifying the element. Re-derived
+        by analyzing only the k page rows (term vectors stay columnar)."""
+        fields = [
+            f for f in self._query_fields(req.query) or [self.default_field()]
+            if f in page.columns
+        ]
+        if not fields:
+            return page, []
+        terms_by_field = {
+            f: self._query_terms(req.query, f) for f in fields
+        }
+        analyzers = {
+            f: get_analyzer(self._analyzer_for(f, None)) for f in fields
+        }
+
+        def locate_value(analyzer, terms, value):
+            def one(text, apos):
+                out = {}
+                if not isinstance(text, str):
+                    return out
+                # char->byte offset map only where needed
+                for t in analyzer.analyze(text):
+                    if t[0] in terms:
+                        start_b = len(text[: t[2]].encode("utf-8"))
+                        end_b = start_b + len(
+                            text[t[2] : t[3]].encode("utf-8")
+                        )
+                        out.setdefault(t[0], []).append(
+                            {
+                                "pos": t[1],
+                                "start": start_b,
+                                "end": end_b,
+                                "array_positions": apos,
+                            }
+                        )
+                return out
+
+            merged: dict = {}
+            if isinstance(value, str):
+                merged = one(value, None)
+            elif value is not None:
+                for i, el in enumerate(value):
+                    for term, locs in one(el, [i]).items():
+                        merged.setdefault(term, []).extend(locs)
+            return merged or None
+
+        @F.pandas_udf(self.LOCATIONS_TYPE)
+        def locations_udf(*cols: pd.Series) -> pd.Series:
+            out = []
+            for row in zip(*cols):
+                by_field = {}
+                for f, v in zip(fields, row):
+                    got = locate_value(analyzers[f], terms_by_field[f], v)
+                    if got:
+                        by_field[f] = got
+                out.append(by_field or None)
+            return pd.Series(out)
+
+        page = page.withColumn(
+            "locations", locations_udf(*[F.col(f"`{f}`") for f in fields])
+        )
+        return page, ["locations"]
+
     def search(self, req: SearchRequest) -> SearchResult:
         self.similarity = req.similarity
         scored = None
@@ -972,6 +1080,9 @@ class Searcher:
                 pred = _keyset_pred(specs, key_cols, req.search_after)
                 page = hits.where(pred).orderBy(*sort_cols).limit(req.size)
             page, hl_cols = self._apply_highlight(page, req)
+            if req.include_locations:
+                page, loc_cols = self._apply_locations(page, req)
+                hl_cols = hl_cols + loc_cols
             page = page.select(*out_cols, *hl_cols)
             facets = {}
             for name, freq in req.facets.items():
@@ -992,6 +1103,9 @@ class Searcher:
                 .drop("_rn")
             )
         page, hl_cols = self._apply_highlight(page, req)
+        if req.include_locations:
+            page, loc_cols = self._apply_locations(page, req)
+            hl_cols = hl_cols + loc_cols
         page = page.select(*out_cols, *hl_cols)
 
         facets = {}
