@@ -177,6 +177,13 @@ class SearchIndex:
         positions) rows via an Arrow-batched mapInPandas. Callers doing
         block-max pruning pass a pre-filtered `blocks`."""
         src = blocks if blocks is not None else self.blocks(field, terms)
+        # project away unused payloads BEFORE the pandas decode: scoring
+        # without positions must not read pos_enc (roughly half the
+        # postings bytes) — mapInPandas alone defeats column pruning
+        cols = ["field", "term", "docids_enc", "tfs_enc", "lens_enc"]
+        if need_positions:
+            cols.append("pos_enc")
+        src = src.select(*cols)
 
         def gen(batches):
             yield from _decode_blocks_iter(batches, need_positions)
