@@ -15,10 +15,12 @@ from .index import SearchIndex
 from .mapping import FieldMapping, IndexMapping, code_corpus_mapping, documents_mapping
 from .query import parse_query
 from .search import FacetRequest, Searcher, SearchRequest
+from .writer import IndexWriter
 
 __all__ = [
     "HighlightRequest",
     "IndexAlias",
+    "IndexWriter",
     "IndexBuilder",
     "SearchIndex",
     "Searcher",

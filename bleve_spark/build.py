@@ -174,9 +174,13 @@ def _encode_sorted_stream(batches):
 
 
 def assign_docids(
-    df: DataFrame, id_expr, n_partitions: Optional[int] = None
+    df: DataFrame, id_expr, n_partitions: Optional[int] = None,
+    offset: int = 0,
 ) -> DataFrame:
-    """Deterministic dense docid = global rank over `_id`.
+    """Deterministic dense docid = `offset` + global rank over `_id`.
+    `offset` gives incremental segments non-overlapping docid ranges
+    (the analogue of scorch's snapshot offsets,
+    /root/reference/index/scorch/snapshot_index.go:81,475-480).
 
     Two-pass range-partitioned ranking (sample ranges -> sort within
     partitions -> per-partition counts -> offset + local index). The
@@ -211,7 +215,7 @@ def assign_docids(
         for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
     offsets = {}
-    acc = 0
+    acc = int(offset)
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
@@ -312,6 +316,36 @@ class IndexBuilder:
     def _write(self, df: DataFrame, name: str):
         df.write.mode("overwrite").parquet(self._stage_dir(name))
 
+    def _fine_splits(self, src_stage: str):
+        """Context manager: size input splits of `src_stage`'s files to
+        >= 4 tasks per core for the enclosed action, then restore the
+        session default. The heavy pandas/shuffle stages want fine,
+        balanced splits even over a modest intermediate table; query-time
+        scans in the same session keep the coarse default so tiny lookups
+        stay a few tasks. At TB scale the computed split converges to the
+        default."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scoped():
+            d = self._stage_dir(src_stage)
+            nbytes = sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            cores = self.spark.sparkContext.defaultParallelism
+            split = max(1 << 20, nbytes // (4 * cores))
+            key = "spark.sql.files.maxPartitionBytes"
+            old = self.spark.conf.get(key)
+            self.spark.conf.set(key, str(min(int(split), 128 << 20)))
+            try:
+                yield
+            finally:
+                self.spark.conf.set(key, old)
+
+        return scoped()
+
     # -- build -------------------------------------------------------------
 
     def build(
@@ -320,6 +354,7 @@ class IndexBuilder:
         id_expr=None,
         resume: bool = True,
         fingerprint: Optional[str] = None,
+        docid_offset: int = 0,
     ) -> BuildReport:
         os.makedirs(self.index_path, exist_ok=True)
         if fingerprint is None and resume:
@@ -348,7 +383,10 @@ class IndexBuilder:
                 4 * self.spark.sparkContext.defaultParallelism,
                 corpus.rdd.getNumPartitions(),
             )
-            docs = assign_docids(keyed, F.col("_id"), n_partitions=out_parts)
+            docs = assign_docids(
+                keyed, F.col("_id"), n_partitions=out_parts,
+                offset=docid_offset,
+            )
             # backtick-quote: dotted-path field names (flattened nested
             # fields, e.g. manages.reports) are plain column names here
             self._write(
@@ -400,7 +438,8 @@ class IndexBuilder:
                 make_analyzed_rows_fn(field_analyzers, compose),
                 ANALYZED_ROW_SCHEMA,
             )
-            self._write(analyzed, "analyzed")
+            with self._fine_splits("docs"):
+                self._write(analyzed, "analyzed")
             self._mark_stage("analyzed", fingerprint)
             report.add(
                 "analyzed",
@@ -423,7 +462,8 @@ class IndexBuilder:
                     F.lit(1.0) / F.sqrt(F.greatest(F.col("length"), F.lit(1)))
                 ).cast("float").alias("norm"),
             )
-            self._write(norms, "norms")
+            with self._fine_splits("analyzed"):
+                self._write(norms, "norms")
             self._mark_stage("norms", fingerprint)
             report.add("norms", _parquet_rows(self._stage_dir("norms")), (time.time() - t0) * 1e3)
 
@@ -449,7 +489,10 @@ class IndexBuilder:
             blocks = sorted_rows.mapInPandas(
                 _encode_sorted_stream, POSTINGS_SCHEMA
             )
-            blocks.write.mode("overwrite").parquet(self._stage_dir("postings"))
+            with self._fine_splits("analyzed"):
+                blocks.write.mode("overwrite").parquet(
+                    self._stage_dir("postings")
+                )
             self._mark_stage("postings", fingerprint)
             report.add("postings", _parquet_rows(self._stage_dir("postings")), (time.time() - t0) * 1e3)
 

@@ -66,6 +66,14 @@ def _decode_blocks_iter(batches, need_positions: bool):
 
 
 class SearchIndex:
+    """Read-side snapshot handle. Works over both layouts: the flat
+    single-build table set, and the segmented layout written by
+    IndexWriter (segments/seg-*/ + tombstones/) — in which case tables
+    are unioned across segments and tombstoned docs are masked, the
+    IndexSnapshot + deleted-bitmap analogue
+    (ref: index/scorch/snapshot_index.go:81, README.md:108-133). A new
+    SearchIndex instance = a new MVCC snapshot."""
+
     def __init__(
         self,
         spark: SparkSession,
@@ -76,12 +84,66 @@ class SearchIndex:
         self.index_path = index_path
         self.mapping = mapping
 
+    @cached_property
+    def _seg_metas(self) -> list:
+        from .writer import segment_metas
+
+        return segment_metas(self.index_path)
+
     def _table(self, name: str) -> DataFrame:
+        if self._seg_metas:
+            return self.spark.read.parquet(
+                *[os.path.join(m["dir"], name) for m in self._seg_metas]
+            )
         return self.spark.read.parquet(os.path.join(self.index_path, name))
 
     @cached_property
+    def _tombstones(self) -> Optional[DataFrame]:
+        d = os.path.join(self.index_path, "tombstones")
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _doc_seq_col(self):
+        """docid -> owning segment seq (ranges from segment metas)."""
+        expr = F.lit(-1)
+        for m in self._seg_metas:
+            expr = F.when(
+                (F.col("docid") >= m["docid_start"])
+                & (F.col("docid") < m["docid_end"]),
+                F.lit(m["seq"]),
+            ).otherwise(expr)
+        return expr
+
+    @cached_property
+    def deleted_docids(self) -> Optional[DataFrame]:
+        """Docids masked by tombstones: doc is dead iff a tombstone with
+        seq > the doc's segment seq names its _id (upsert + delete)."""
+        if self._tombstones is None:
+            return None
+        raw = self._table("docs").select(
+            "docid", "_id", self._doc_seq_col().alias("__seq")
+        )
+        dead = (
+            raw.join(
+                self._tombstones.groupBy("_id").agg(
+                    F.max("seq").alias("__tomb_seq")
+                ),
+                "_id",
+            )
+            .where(F.col("__tomb_seq") > F.col("__seq"))
+            .select("docid")
+        )
+        return dead
+
+    @cached_property
     def docs(self) -> DataFrame:
-        return self._table("docs")
+        d = self._table("docs")
+        if self.deleted_docids is not None:
+            d = d.join(self.deleted_docids, "docid", "left_anti")
+        return d
 
     @cached_property
     def postings(self) -> DataFrame:
@@ -89,7 +151,15 @@ class SearchIndex:
 
     @cached_property
     def dictionary(self) -> DataFrame:
-        return self._table("dictionary")
+        d = self._table("dictionary")
+        if len(self._seg_metas) > 1:
+            # per-segment dictionaries merge by summation. Like scorch,
+            # df/cf still count tombstoned docs until compaction
+            # (deleted bitmaps do not rewrite dictionaries).
+            d = d.groupBy("field", "term").agg(
+                F.sum("df").alias("df"), F.sum("cf").alias("cf")
+            )
+        return d
 
     @cached_property
     def norms(self) -> DataFrame:
@@ -97,19 +167,30 @@ class SearchIndex:
 
     @cached_property
     def doc_count(self) -> int:
-        """Global N (single-index semantics — the reference parity target,
-        SURVEY.md §2.6 per-shard IDF caveat)."""
+        """Global N, live docs only (single-index semantics — the
+        reference parity target, SURVEY.md §2.6 per-shard IDF caveat)."""
+        if self._seg_metas:
+            if self._tombstones is not None:
+                return self.docs.count()
+            return max(m["docid_end"] for m in self._seg_metas)
         return int(self._table("stats").collect()[0]["doc_count"])
 
     @cached_property
     def field_stats(self) -> Dict[str, dict]:
+        rows = self._table("fieldstats")
+        if len(self._seg_metas) > 1:
+            rows = rows.groupBy("field").agg(
+                F.sum("doc_count").alias("doc_count"),
+                F.sum("total_len").alias("total_len"),
+                (F.sum("total_len") / F.sum("doc_count")).alias("avg_len"),
+            )
         return {
             r["field"]: {
                 "doc_count": r["doc_count"],
                 "total_len": r["total_len"],
                 "avg_len": r["avg_len"],
             }
-            for r in self._table("fieldstats").collect()
+            for r in rows.collect()
         }
 
     def avg_len(self, field: str) -> float:
@@ -188,4 +269,9 @@ class SearchIndex:
         def gen(batches):
             yield from _decode_blocks_iter(batches, need_positions)
 
-        return src.mapInPandas(gen, DECODED_SCHEMA)
+        out = src.mapInPandas(gen, DECODED_SCHEMA)
+        if self.deleted_docids is not None:
+            # mask tombstoned docs at the postings level — the
+            # deleted-roaring-bitmap analogue (scorch README:213-218)
+            out = out.join(self.deleted_docids, "docid", "left_anti")
+        return out

@@ -35,14 +35,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("BLEVE_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # keep input splits fine-grained enough that the pandas-UDF
-        # analysis stage parallelizes even over few/small files; on a
-        # production cluster with TB-scale inputs these also behave
+        # query-time scans keep Spark's coarse default splits (small
+        # postings/dictionary lookups become a handful of tasks, not
+        # hundreds); the BUILD's analysis stage instead scopes a finer
+        # maxPartitionBytes around itself (build.py stage 2) so the
+        # pandas-UDF pass still gets >= 4 balanced tasks per core
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.files.openCostInBytes", "131072")
-        # >= 4 tasks per slot: avoids 1.1-wave scheduling cliffs on the
-        # expensive pandas-UDF stages and smooths stragglers
-        .config("spark.sql.files.minPartitionNum", str(4 * cpus))
         # let the docid rank table broadcast in the docs-stage join so the
         # corpus content never shuffles; big rank tables (10^9+ docs) fall
         # back to a shuffle join automatically

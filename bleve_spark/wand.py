@@ -107,7 +107,10 @@ def block_potentials(
     pot = with_ub.groupBy("block").agg(
         F.sum("ub").alias("pot"),
         F.sum("df_block").alias("ndocs"),
-        F.count("*").alias("nterms_present"),
+        # count_distinct, not count: segmented indexes may contribute
+        # several rows per (term, block) when segment boundaries are not
+        # block-aligned
+        F.count_distinct(F.col("term")).alias("nterms_present"),
     )
     if conjunctive:
         pot = pot.where(F.col("nterms_present") >= len(terms))

@@ -1,0 +1,164 @@
+"""Incremental write path: batches as immutable segments + tombstones.
+
+Re-creates the reference's online index maintenance on top of the offline
+builder (SURVEY.md §2.1/§2.3): `Batch`/`Index` appends become immutable
+segments (/root/reference/index/scorch/scorch.go:365-443 — each batch
+becomes a zap segment), `Delete` becomes tombstones masked at read time
+(the deleted-roaring-bitmap analogue, index/scorch/README.md:108-133),
+and `compact()` is the merger (builder-style full k-way merge,
+index/scorch/builder.go:135-240 / mergeplan tiered compaction collapsed
+to one tier).
+
+Layout under index_path:
+    segments/seg-00000/        full table set (IndexBuilder output)
+    segments/seg-00000/_SEGMENT.json   {seq, docid_start, docid_end}
+    tombstones/                parquet (_id string, seq long)
+
+Docids are globally unique: segment k's docids start at the previous
+segment's docid_end (snapshot offsets, snapshot_index.go:475-480), so
+posting blocks from different segments never alias a docid range.
+
+Visibility rule: a doc in segment s is dead iff a tombstone with
+seq > s names its `_id`. batch_index(seq=k) tombstones incoming ids at
+seq k — upsert semantics: older versions die, the new segment (seq k)
+survives. delete() writes tombstones at seq = current segment count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import BuildReport, IndexBuilder
+from .mapping import IndexMapping
+
+SEG_PREFIX = "seg-"
+
+
+def segment_dirs(index_path: str) -> List[str]:
+    root = os.path.join(index_path, "segments")
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith(SEG_PREFIX)
+        and os.path.exists(os.path.join(root, d, "_SEGMENT.json"))
+    ]
+
+
+def segment_metas(index_path: str) -> List[dict]:
+    metas = []
+    for d in segment_dirs(index_path):
+        with open(os.path.join(d, "_SEGMENT.json")) as f:
+            m = json.load(f)
+        m["dir"] = d
+        metas.append(m)
+    return sorted(metas, key=lambda m: m["seq"])
+
+
+class IndexWriter:
+    """ref: index.go:45-89 (Index/Delete/Batch) + scorch introducer."""
+
+    def __init__(
+        self, spark: SparkSession, mapping: IndexMapping, index_path: str
+    ):
+        self.spark = spark
+        self.mapping = mapping
+        self.index_path = index_path
+
+    # -- internals -------------------------------------------------------
+
+    def _tomb_dir(self) -> str:
+        return os.path.join(self.index_path, "tombstones")
+
+    def _next_seq_and_offset(self):
+        metas = segment_metas(self.index_path)
+        seq = len(metas)
+        offset = max((m["docid_end"] for m in metas), default=0)
+        return seq, offset
+
+    def _write_tombstones(self, ids_df: DataFrame, seq: int):
+        (
+            ids_df.select(
+                F.col("_id").cast("string").alias("_id"),
+                F.lit(seq).cast("long").alias("seq"),
+            )
+            .write.mode("append")
+            .parquet(self._tomb_dir())
+        )
+
+    # -- public API ------------------------------------------------------
+
+    def batch_index(self, df: DataFrame, id_expr=None) -> BuildReport:
+        """Index a batch as a new immutable segment; existing docs with
+        the same _id are superseded (upsert)."""
+        seq, offset = self._next_seq_and_offset()
+        seg_dir = os.path.join(
+            self.index_path, "segments", f"{SEG_PREFIX}{seq:05d}"
+        )
+        builder = IndexBuilder(self.spark, self.mapping, seg_dir)
+        report = builder.build(
+            df, id_expr=id_expr, resume=False, docid_offset=offset
+        )
+        n = int(
+            self.spark.read.parquet(os.path.join(seg_dir, "stats"))
+            .collect()[0]["doc_count"]
+        )
+        with open(os.path.join(seg_dir, "_SEGMENT.json"), "w") as f:
+            json.dump(
+                {"seq": seq, "docid_start": offset, "docid_end": offset + n},
+                f,
+            )
+        if seq > 0:
+            # upsert: kill older versions of the incoming ids
+            ids = self.spark.read.parquet(
+                os.path.join(seg_dir, "docs")
+            ).select("_id")
+            self._write_tombstones(ids, seq)
+        return report
+
+    def delete(self, ids) -> None:
+        """Tombstone ids across all current segments
+        (ref: index.go:85-89)."""
+        seq, _ = self._next_seq_and_offset()
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(ids.columns[0]).alias("_id"))
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(str(i),) for i in ids], ["_id"]
+            )
+        self._write_tombstones(ids_df, seq)
+
+    def compact(self, searcher_index=None) -> BuildReport:
+        """Merge all segments minus tombstones into one fresh segment —
+        the merger/mergeplan analogue collapsed to a single tier
+        (ref: index/scorch/merge.go, mergeplan/merge_plan.go:67-135)."""
+        from .index import SearchIndex
+
+        idx = searcher_index or SearchIndex(
+            self.spark, self.index_path, self.mapping
+        )
+        live = idx.docs.drop("docid")  # rebuild reassigns dense docids
+        tmp = os.path.join(self.index_path, "segments_compacting")
+        shutil.rmtree(tmp, ignore_errors=True)
+        seg_dir = os.path.join(tmp, f"{SEG_PREFIX}00000")
+        builder = IndexBuilder(self.spark, self.mapping, seg_dir)
+        report = builder.build(live, id_expr=F.col("_id"), resume=False)
+        n = int(
+            self.spark.read.parquet(os.path.join(seg_dir, "stats"))
+            .collect()[0]["doc_count"]
+        )
+        with open(os.path.join(seg_dir, "_SEGMENT.json"), "w") as f:
+            json.dump({"seq": 0, "docid_start": 0, "docid_end": n}, f)
+        # swap in the compacted segment set (on Iceberg this is the
+        # atomic snapshot commit; here: directory swap)
+        old = os.path.join(self.index_path, "segments")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(tmp, old)
+        shutil.rmtree(self._tomb_dir(), ignore_errors=True)
+        return report
