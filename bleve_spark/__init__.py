@@ -9,6 +9,7 @@ that Catalyst optimizes. See SURVEY.md for the operator-by-operator map.
 """
 
 from .alias import IndexAlias
+from .api import Index
 from .build import IndexBuilder, assign_docids, drop_index
 from .highlight import HighlightRequest
 from .index import SearchIndex
@@ -18,6 +19,7 @@ from .search import FacetRequest, Searcher, SearchRequest
 from .writer import IndexWriter
 
 __all__ = [
+    "Index",
     "HighlightRequest",
     "IndexAlias",
     "IndexWriter",
