@@ -53,6 +53,33 @@ def zero_width_char_filter(text: str) -> str:
     return text.replace("‌", " ").replace("‍", " ")
 
 
+# asciifolding: NFKD decomposition + combining-mark strip covers the bulk
+# of the reference's 3570-line fold table (char/asciifolding); the
+# supplement handles the common codepoints that do not decompose.
+_ASCII_SUPPLEMENT = str.maketrans(
+    {
+        "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+        "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+        "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+        "ŋ": "n", "Ŋ": "N", "ı": "i", "ĸ": "q",
+        "‘": "'", "’": "'", "‚": "'", "‛": "'",
+        "“": '"', "”": '"', "„": '"', "‟": '"',
+        "–": "-", "—": "-", "‐": "-", "‑": "-",
+        "…": "...", "№": "No",
+    }
+)
+
+
+def asciifolding_char_filter(text: str) -> str:
+    """Fold accented/decorated characters to their ASCII base
+    (ref: analysis/char/asciifolding/asciifolding.go)."""
+    import unicodedata
+
+    text = text.translate(_ASCII_SUPPLEMENT)
+    decomposed = unicodedata.normalize("NFKD", text)
+    return "".join(c for c in decomposed if not unicodedata.combining(c))
+
+
 # -- analyzer --------------------------------------------------------------
 
 

@@ -79,16 +79,26 @@ class SearchIndex:
         spark: SparkSession,
         index_path: str,
         mapping: Optional[IndexMapping] = None,
+        at_seq: Optional[int] = None,
     ):
+        """`at_seq` opens a historical snapshot of a segmented index:
+        only segments and tombstones with seq <= at_seq are visible —
+        the rollback/time-travel analogue
+        (ref: index/scorch/rollback.go; Iceberg time travel in
+        production). Append-only segments make this a pure filter."""
         self.spark = spark
         self.index_path = index_path
         self.mapping = mapping
+        self.at_seq = at_seq
 
     @cached_property
     def _seg_metas(self) -> list:
         from .writer import segment_metas
 
-        return segment_metas(self.index_path)
+        metas = segment_metas(self.index_path)
+        if self.at_seq is not None:
+            metas = [m for m in metas if m["seq"] <= self.at_seq]
+        return metas
 
     def _table(self, name: str) -> DataFrame:
         if self._seg_metas:
@@ -104,7 +114,10 @@ class SearchIndex:
             f.endswith(".parquet") for f in os.listdir(d)
         ):
             return None
-        return self.spark.read.parquet(d)
+        t = self.spark.read.parquet(d)
+        if self.at_seq is not None:
+            t = t.where(F.col("seq") <= self.at_seq)
+        return t
 
     def _doc_seq_col(self):
         """docid -> owning segment seq (ranges from segment metas)."""

@@ -187,3 +187,12 @@ def test_fast_termfreq_matches_generic():
                 freqs.setdefault(t[0], []).append(t[1])
             generic = (len(tokens), freqs)
             assert fast(text) == generic, (name, text[:60])
+
+
+def test_asciifolding_char_filter():
+    from bleve_spark.analysis import asciifolding_char_filter as fold
+
+    assert fold("café Ærø straße") == "cafe AEro strasse"
+    assert fold("Łódź") == "Lodz"
+    assert fold("“smart” – ‘quotes’…") == '"smart" - \'quotes\'...'
+    assert fold("plain ascii 123") == "plain ascii 123"

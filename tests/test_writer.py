@@ -110,3 +110,45 @@ def test_compact_preserves_results(spark, writer):
     assert after_dog == before_dog
     # tombstones are gone; dictionary df no longer counts dead docs
     assert idx._tombstones is None
+
+
+def test_snapshot_time_travel(spark):
+    """at_seq opens a historical view — the rollback analogue
+    (ref: index/scorch/rollback.go)."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    path = "/tmp/bleve_spark_tt_index"
+    sh.rmtree(path, ignore_errors=True)
+    m = _mapping()
+    from bleve_spark import IndexWriter
+
+    w = IndexWriter(spark, m, path)
+    w.batch_index(
+        spark.createDataFrame([("a", "first era fox")], ["id", "body"]),
+        id_expr=F.col("id"),
+    )
+    w.batch_index(
+        spark.createDataFrame([("b", "second era owl")], ["id", "body"]),
+        id_expr=F.col("id"),
+    )
+    w.delete(["a"])
+    now = SearchIndex(spark, path, m)
+    assert now.doc_count == 1  # a deleted
+    past = SearchIndex(spark, path, m, at_seq=0)
+    assert past.doc_count == 1  # only segment 0, before the delete
+    res = Searcher(past).search(
+        SearchRequest(
+            query=parse_query({"field": "body", "term": "fox"}),
+            with_total=True,
+        )
+    )
+    assert res.total == 1  # a alive in the old snapshot
+    res2 = Searcher(past).search(
+        SearchRequest(
+            query=parse_query({"field": "body", "term": "owl"}),
+            with_total=True,
+        )
+    )
+    assert res2.total == 0  # b does not exist yet at seq 0
