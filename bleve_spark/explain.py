@@ -1,0 +1,93 @@
+"""Score explanations: the reference's Explanation tree
+(/root/reference/search/explanation.go, scorer_term.go:76-170,
+scorer_conjunction.go, scorer_disjunction.go) re-done as a driver-side
+per-hit API. Message formats mirror the reference so explanations diff
+cleanly against its output.
+
+Usage: `Searcher.explain(query, doc_id)` -> nested dict
+{"value", "message", "children"} for one hit. Driver-side by design —
+explanations are a debugging surface for individual hits, never a
+distributed column (the reference likewise computes them per returned
+DocumentMatch)."""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def node(value: float, message: str, children: Optional[List] = None) -> Dict:
+    """ref: search/explanation.go Explanation{Value,Message,Children}."""
+    out = {"value": float(value), "message": message}
+    if children:
+        out["children"] = children
+    return out
+
+
+def term_explanation(
+    field: str,
+    term: str,
+    doc_id: str,
+    tf: int,
+    length: int,
+    idf: float,
+    df: int,
+    n_docs: int,
+    boost: float,
+    query_norm: Optional[float],
+) -> Dict:
+    """TF-IDF term score explanation (ref: scorer_term.go:117-170)."""
+    tf_v = math.sqrt(tf)
+    norm = float(np.float32(1.0 / math.sqrt(max(length, 1))))
+    idf_expl = node(idf, f"idf(docFreq={df}, maxDocs={n_docs})")
+    field_weight = tf_v * norm * idf
+    score_expl = node(
+        field_weight,
+        f"fieldWeight({field}:{term} in {doc_id}), product of:",
+        [
+            node(tf_v, f"tf(termFreq({field}:{term})={tf}"),
+            node(norm, f"fieldNorm(field={field}, doc={doc_id})"),
+            idf_expl,
+        ],
+    )
+    if query_norm is None:
+        return score_expl
+    query_weight = boost * idf * query_norm
+    qw_expl = node(
+        query_weight,
+        f"queryWeight({field}:{term}^{boost:f}), product of:",
+        [
+            node(boost, "boost"),
+            idf_expl,
+            node(query_norm, "queryNorm"),
+        ],
+    )
+    return node(
+        field_weight * query_weight,
+        f"weight({field}:{term}^{boost:f} in {doc_id}), product of:",
+        [qw_expl, score_expl],
+    )
+
+
+def sum_explanation(doc_id: str, children: List[Dict]) -> Dict:
+    """Conjunction: sum of child scores
+    (ref: scorer_conjunction.go:44-71)."""
+    total = sum(c["value"] for c in children)
+    return node(total, f"sum of:", children)
+
+
+def coord_explanation(
+    doc_id: str, children: List[Dict], n_match: int, n_total: int
+) -> Dict:
+    """Disjunction: sum x coord(countMatch/countTotal)
+    (ref: scorer_disjunction.go:46-83)."""
+    raw = sum(c["value"] for c in children)
+    coord = n_match / n_total
+    inner = node(raw, "sum of:", children)
+    return node(
+        raw * coord,
+        f"product of:",
+        [inner, node(coord, f"coord({n_match}/{n_total})")],
+    )

@@ -1023,6 +1023,73 @@ class Searcher:
         )
         return page, ["locations"]
 
+    def explain(self, q: Q.Query, doc_id: str) -> Optional[dict]:
+        """Per-hit score explanation tree for term-leaf queries in TF-IDF
+        mode (ref: SearchRequest.Explain -> DocumentMatch.Expl,
+        scorer_term.go:117-170). Driver-side: one tiny posting fetch for
+        one doc, like the reference's per-DocumentMatch computation."""
+        from . import explain as E
+
+        if self.similarity != scoring.TFIDF:
+            raise NotImplementedError("explain supports tfidf mode")
+        cand = self._wand_candidate(q)
+        if cand is None:
+            raise NotImplementedError(
+                f"explain not supported for {type(q).__name__}"
+            )
+        fld, term_boosts, conjunctive, apply_qn = cand
+        doc = (
+            self.index.docs.where(F.col("_id") == str(doc_id))
+            .select("docid")
+            .collect()
+        )
+        if not doc:
+            return None
+        docid = doc[0]["docid"]
+        stats = self.index.term_stats(fld, [t for t, _ in term_boosts])
+        present = [(t, b) for t, b in term_boosts if t in stats]
+        if not present:
+            return None
+        n = self.index.doc_count
+        term_idf = {
+            t: scoring.idf(self.similarity, n, stats[t][0])
+            for t, _ in present
+        }
+        weight = sum(
+            scoring.term_weight(self.similarity, b, term_idf[t])
+            for t, b in present
+        )
+        qn = None
+        if apply_qn and weight > 0:
+            qn = 1.0 / math.sqrt(weight)
+        rows = (
+            self.index.decoded(fld, [t for t, _ in present])
+            .where(F.col("docid") == docid)
+            .select("term", "tf", "length")
+            .collect()
+        )
+        by_term = {r["term"]: (int(r["tf"]), int(r["length"])) for r in rows}
+        children = []
+        for t, b in present:
+            if t not in by_term:
+                continue
+            tf, length = by_term[t]
+            children.append(
+                E.term_explanation(
+                    fld, t, str(doc_id), tf, length, term_idf[t],
+                    stats[t][0], n, b, qn,
+                )
+            )
+        if not children or (conjunctive and len(children) < len(term_boosts)):
+            return None  # doc does not match the (conjunctive) query
+        if len(term_boosts) == 1 and isinstance(q, Q.TermQuery):
+            return children[0]
+        if conjunctive:
+            return E.sum_explanation(str(doc_id), children)
+        return E.coord_explanation(
+            str(doc_id), children, len(children), len(term_boosts)
+        )
+
     def search(self, req: SearchRequest) -> SearchResult:
         self.similarity = req.similarity
         scored = None
