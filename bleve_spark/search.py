@@ -92,14 +92,17 @@ class Searcher:
         self,
         index: SearchIndex,
         similarity: str = scoring.TFIDF,
-        wand_min_postings: int = 65536,
+        wand_min_postings: int = 50_000_000,
     ):
         self.index = index
         self.similarity = similarity
         # block-max WAND engages only when the query's summed df clears
-        # this floor — below it the two extra (tiny) Spark jobs cost more
-        # than the decode they save. At 100 TB scale virtually every
-        # match query clears it.
+        # this floor. Cost model (measured, BASELINE.md): the pruning
+        # adds ~2 extra driver jobs (metadata agg + phase-1 theta) worth
+        # seconds of fixed latency, while the vectorized decode it avoids
+        # runs at tens of millions of postings/sec — break-even lands
+        # near 10^8 postings. Below that (every sandbox-scale corpus)
+        # exhaustive scoring is faster; at 100 TB hot terms clear it.
         self.wand_min_postings = wand_min_postings
 
     # ------------------------------------------------------------------
