@@ -1,0 +1,86 @@
+"""Streaming ingestion: file stream -> micro-batch segments -> searchable
+snapshots (bleve_spark/streaming.py)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from bleve_spark import (
+    FieldMapping,
+    IndexMapping,
+    IndexWriter,
+    SearchIndex,
+    Searcher,
+    SearchRequest,
+    parse_query,
+)
+from bleve_spark.streaming import stream_index
+
+BASE = "/tmp/bleve_spark_streaming_test"
+SRC = f"{BASE}/incoming"
+IDX = f"{BASE}/index"
+CKPT = f"{BASE}/ckpt"
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+
+def _mapping():
+    m = IndexMapping(default_analyzer="standard", compose_all=True)
+    m.add(FieldMapping("body"))
+    return m
+
+
+def test_stream_ingestion_end_to_end(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    os.makedirs(SRC)
+    spark.createDataFrame(
+        [("a", "streamed fox document"), ("b", "streamed owl document")],
+        schema=SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(SRC)
+
+    writer = IndexWriter(spark, _mapping(), IDX)
+    stream = spark.readStream.schema(SCHEMA).parquet(SRC)
+    q = stream_index(
+        writer, stream, id_expr=F.col("id"), checkpoint=CKPT
+    )
+    q.awaitTermination(120)
+
+    idx = SearchIndex(spark, IDX, _mapping())
+    assert idx.doc_count == 2
+    res = Searcher(idx).search(
+        SearchRequest(
+            query=parse_query({"field": "body", "term": "fox"}),
+            with_total=True,
+        )
+    )
+    assert [r["_id"] for r in res.hits.collect()] == ["a"]
+
+    # second wave of files -> new segment, visible in a fresh snapshot
+    spark.createDataFrame(
+        [("c", "late fox arrival")], schema=SCHEMA
+    ).coalesce(1).write.mode("append").parquet(SRC)
+    q2 = stream_index(
+        writer, stream, id_expr=F.col("id"), checkpoint=CKPT
+    )
+    q2.awaitTermination(120)
+
+    idx2 = SearchIndex(spark, IDX, _mapping())
+    assert idx2.doc_count == 3
+    res2 = Searcher(idx2).search(
+        SearchRequest(
+            query=parse_query({"field": "body", "term": "fox"}),
+            with_total=True,
+        )
+    )
+    assert sorted(r["_id"] for r in res2.hits.collect()) == ["a", "c"]
+    # checkpoint made wave 1 exactly-once: still exactly 2 segments
+    from bleve_spark.writer import segment_metas
+
+    assert len(segment_metas(IDX)) == 2
