@@ -273,6 +273,92 @@ def make_keyword_marker_filter(keywords: Iterable[str]):
     return wrap
 
 
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x4E00 <= cp <= 0x9FFF  # CJK unified
+        or 0x3400 <= cp <= 0x4DBF  # ext A
+        or 0xF900 <= cp <= 0xFAFF  # compat ideographs
+        or 0x3040 <= cp <= 0x30FF  # hiragana + katakana
+        or 0x31F0 <= cp <= 0x31FF  # katakana ext
+        or 0xAC00 <= cp <= 0xD7AF  # hangul
+    )
+
+
+def cjk_width_filter(tokens: List[Token]) -> List[Token]:
+    """Fold full-width ASCII to half-width and half-width katakana to
+    full-width (ref: analysis/lang/cjk/cjk_width.go) — NFKC performs
+    exactly these two foldings."""
+    import unicodedata
+
+    return [
+        (unicodedata.normalize("NFKC", t[0]), t[1], t[2], t[3])
+        for t in tokens
+    ]
+
+
+def make_cjk_bigram_filter(output_unigram: bool = False):
+    """Bigram consecutive CJK ideographs (ref: analysis/lang/cjk/
+    cjk_bigram.go). The unicode tokenizer emits CJK runs as one token;
+    this splits each run into overlapping bigrams (plus unigrams when
+    requested or for isolated single ideographs); non-CJK tokens pass
+    through unchanged."""
+
+    def cjk_bigram(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        pos = 0
+        for term, _p, start, end in tokens:
+            if len(term) >= 1 and all(_is_cjk(c) for c in term):
+                if len(term) == 1:
+                    pos += 1
+                    out.append((term, pos, start, end))
+                    continue
+                for i in range(len(term) - 1):
+                    pos += 1
+                    if output_unigram:
+                        out.append((term[i], pos, start + i, start + i + 1))
+                    out.append((term[i : i + 2], pos, start + i, start + i + 2))
+                if output_unigram:
+                    pos += 1
+                    out.append((term[-1], pos, end - 1, end))
+            else:
+                pos += 1
+                out.append((term, pos, start, end))
+        return out
+
+    return cjk_bigram
+
+
+def make_dict_compound_filter(
+    words: Iterable[str], min_sub_len: int = 3, max_sub_len: int = 15,
+    only_longest: bool = False,
+):
+    """Decompose compound words via a dictionary (ref: analysis/token/
+    compound/dict.go): every dictionary word of length [min,max] found as
+    a substring of a token is emitted as an extra token at the same
+    position; the original token is kept."""
+    dictionary = frozenset(w.lower() for w in words)
+
+    def dict_compound(tokens: List[Token]) -> List[Token]:
+        out: List[Token] = []
+        for term, p, start, end in tokens:
+            out.append((term, p, start, end))
+            low = term.lower()
+            found = []
+            for i in range(len(low)):
+                for n in range(min_sub_len, min(max_sub_len, len(low) - i) + 1):
+                    sub = low[i : i + n]
+                    if sub in dictionary and sub != low:
+                        found.append((sub, i, n))
+            if only_longest and found:
+                found = [max(found, key=lambda f: f[2])]
+            for sub, i, n in found:
+                out.append((sub, p, start + i, start + i + n))
+        return out
+
+    return dict_compound
+
+
 def make_elision_filter(articles: Iterable[str]):
     """Strip leading article + apostrophe: l'avion -> avion
     (ref: token/elision/elision.go)."""

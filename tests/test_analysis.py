@@ -196,3 +196,43 @@ def test_asciifolding_char_filter():
     assert fold("Łódź") == "Lodz"
     assert fold("“smart” – ‘quotes’…") == '"smart" - \'quotes\'...'
     assert fold("plain ascii 123") == "plain ascii 123"
+
+
+def test_cjk_width_filter():
+    from bleve_spark.analysis.filters import cjk_width_filter
+
+    toks = [("ＡＢＣ", 1, 0, 3), ("ｶﾀｶﾅ", 2, 4, 8)]
+    out = cjk_width_filter(toks)
+    assert out[0][0] == "ABC"
+    assert out[1][0] == "カタカナ"
+
+
+def test_cjk_bigram_filter():
+    from bleve_spark.analysis.filters import make_cjk_bigram_filter
+
+    f = make_cjk_bigram_filter()
+    out = f([("日本語", 1, 0, 3)])
+    assert [t[0] for t in out] == ["日本", "本語"]
+    assert [t[1] for t in out] == [1, 2]
+    # isolated single ideograph passes as unigram
+    assert [t[0] for t in f([("日", 1, 0, 1)])] == ["日"]
+    # latin tokens untouched
+    assert [t[0] for t in f([("hello", 1, 0, 5)])] == ["hello"]
+    # mixed stream keeps positions dense
+    out2 = f([("hello", 1, 0, 5), ("日本語", 2, 6, 9)])
+    assert [(t[0], t[1]) for t in out2] == [
+        ("hello", 1), ("日本", 2), ("本語", 3)
+    ]
+
+
+def test_dict_compound_filter():
+    from bleve_spark.analysis.filters import make_dict_compound_filter
+
+    f = make_dict_compound_filter(["soft", "ball", "team"])
+    out = f([("softballteam", 1, 0, 12)])
+    terms = [t[0] for t in out]
+    assert terms[0] == "softballteam"
+    assert set(terms[1:]) == {"soft", "ball", "team"}
+    # offsets point at the substring
+    by_term = {t[0]: (t[2], t[3]) for t in out}
+    assert by_term["ball"] == (4, 8)
