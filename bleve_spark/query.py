@@ -114,6 +114,23 @@ class MatchNoneQuery(Query):  # ref: query/match_none.go
 
 
 @dataclass
+class GeoDistanceQuery(Query):  # ref: query/geo_distance.go
+    location: object = None  # [lon,lat] | {"lon","lat"} | "lat, lon" | geohash
+    distance: str = "1km"
+
+
+@dataclass
+class GeoBoundingBoxQuery(Query):  # ref: query/geo_boundingbox.go
+    top_left: object = None
+    bottom_right: object = None
+
+
+@dataclass
+class GeoPolygonQuery(Query):  # ref: query/geo_boundingpolygon.go
+    polygon_points: Sequence = ()
+
+
+@dataclass
 class ConjunctionQuery(Query):  # ref: query/conjunction.go:28-40
     conjuncts: List[Query] = field(default_factory=list)
 
@@ -207,6 +224,17 @@ def parse_query(d: dict) -> Query:
         )
     if "ids" in d:
         return DocIDQuery(boost, fld, ids=d["ids"])
+    if "location" in d and "distance" in d:
+        return GeoDistanceQuery(
+            boost, fld, location=d["location"], distance=d["distance"]
+        )
+    if "top_left" in d and "bottom_right" in d:
+        return GeoBoundingBoxQuery(
+            boost, fld, top_left=d["top_left"],
+            bottom_right=d["bottom_right"],
+        )
+    if "polygon_points" in d:
+        return GeoPolygonQuery(boost, fld, polygon_points=d["polygon_points"])
     if "min" in d or "max" in d:
         mn, mx = d.get("min"), d.get("max")
         if isinstance(mn, str) or isinstance(mx, str):

@@ -607,6 +607,33 @@ class Searcher:
                 ),
                 b,
             )
+        if isinstance(
+            q, (Q.GeoDistanceQuery, Q.GeoBoundingBoxQuery, Q.GeoPolygonQuery)
+        ):
+            from . import geo
+
+            lat_col = F.col(f"{fld}.lat")
+            lon_col = F.col(f"{fld}.lon")
+            if isinstance(q, Q.GeoDistanceQuery):
+                lat, lon = geo.parse_point(q.location)
+                pred = geo.haversine_m(
+                    lat_col, lon_col, lat, lon
+                ) <= geo.parse_distance(q.distance)
+            elif isinstance(q, Q.GeoBoundingBoxQuery):
+                tl_lat, tl_lon = geo.parse_point(q.top_left)
+                br_lat, br_lon = geo.parse_point(q.bottom_right)
+                pred = (
+                    (lat_col <= tl_lat)
+                    & (lat_col >= br_lat)
+                    & (lon_col >= tl_lon)
+                    & (lon_col <= br_lon)
+                )
+            else:
+                verts = [geo.parse_point(p) for p in q.polygon_points]
+                pred = geo.in_polygon(lat_col, lon_col, verts)
+            return self._plan_const(
+                self.index.docs.where(pred).select("docid"), b
+            )
         if isinstance(q, Q.MatchAllQuery):
             return self._plan_const(self.index.docs.select("docid"), b)
         if isinstance(q, Q.MatchNoneQuery):
@@ -925,6 +952,14 @@ class Searcher:
             return F.col("score")
         if spec["by"] == "id":
             return F.col("_id")
+        if spec["by"] == "geo_distance":  # ref: search/sort.go SortGeoDistance
+            from . import geo
+
+            lat, lon = geo.parse_point(spec["location"])
+            name = spec["field"]
+            return geo.haversine_m(
+                F.col(f"{name}.lat"), F.col(f"{name}.lon"), lat, lon
+            )
         name = spec["field"]
         col = F.col(name)
         try:
@@ -1256,15 +1291,17 @@ def _parse_sort_specs(sort: Sequence) -> List[dict]:
             )
         else:
             d = dict(s)
-            specs.append(
-                {
-                    "by": d.get("by", "field"),
-                    "field": d.get("field"),
-                    "desc": bool(d.get("desc", False)),
-                    "missing": d.get("missing", "last"),
-                    "mode": d.get("mode", "min"),
-                }
-            )
+            spec = {
+                "by": d.get("by", "field"),
+                "field": d.get("field"),
+                "desc": bool(d.get("desc", False)),
+                "missing": d.get("missing", "last"),
+                "mode": d.get("mode", "min"),
+            }
+            if d.get("by") == "geo_distance":  # ref: search/sort.go:636
+                spec["location"] = d.get("location")
+                spec["unit"] = d.get("unit", "m")
+            specs.append(spec)
     return specs
 
 
