@@ -114,6 +114,11 @@ class MatchNoneQuery(Query):  # ref: query/match_none.go
 
 
 @dataclass
+class IPRangeQuery(Query):  # ref: query/ip_range.go:28-33
+    cidr: str = ""
+
+
+@dataclass
 class GeoDistanceQuery(Query):  # ref: query/geo_distance.go
     location: object = None  # [lon,lat] | {"lon","lat"} | "lat, lon" | geohash
     distance: str = "1km"
@@ -224,6 +229,8 @@ def parse_query(d: dict) -> Query:
         )
     if "ids" in d:
         return DocIDQuery(boost, fld, ids=d["ids"])
+    if "cidr" in d:
+        return IPRangeQuery(boost, fld, cidr=d["cidr"])
     if "location" in d and "distance" in d:
         return GeoDistanceQuery(
             boost, fld, location=d["location"], distance=d["distance"]

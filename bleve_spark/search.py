@@ -607,6 +607,29 @@ class Searcher:
                 ),
                 b,
             )
+        if isinstance(q, Q.IPRangeQuery):
+            # CIDR containment as a native range predicate over the
+            # packed-int form of the stored dotted-quad (the columnar
+            # replacement for the reference's 16-byte IP terms,
+            # query/ip_range.go + searcher/search_ip_range.go). IPv4;
+            # a bare address means /32 like the reference.
+            import ipaddress
+
+            cidr = q.cidr if "/" in q.cidr else q.cidr + "/32"
+            net = ipaddress.ip_network(cidr, strict=False)
+            parts = F.split(F.col(fld), "\\.")
+            packed = (
+                parts.getItem(0).cast("long") * 16777216
+                + parts.getItem(1).cast("long") * 65536
+                + parts.getItem(2).cast("long") * 256
+                + parts.getItem(3).cast("long")
+            )
+            pred = (packed >= int(net.network_address)) & (
+                packed <= int(net.broadcast_address)
+            )
+            return self._plan_const(
+                self.index.docs.where(pred).select("docid"), b
+            )
         if isinstance(
             q, (Q.GeoDistanceQuery, Q.GeoBoundingBoxQuery, Q.GeoPolygonQuery)
         ):

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from bleve_spark import (
+    SearchIndex,
     FieldMapping,
     HighlightRequest,
     IndexBuilder,
@@ -170,3 +171,41 @@ def test_basic_suite_case(suite_index, case):
             if want:
                 for fname, frags in want.items():
                     assert r[f"{fname}_fragments"] == frags, (comment, fname)
+
+
+def test_ip_range_query(spark, suite_index):
+    """IPRangeQuery over a stored dotted-quad column
+    (ref: query/ip_range.go, searcher/search_ip_range.go)."""
+    import shutil as sh
+    from bleve_spark import IndexBuilder
+    from pyspark.sql import functions as F
+
+    path = "/tmp/bleve_spark_ip_test_index"
+    sh.rmtree(path, ignore_errors=True)
+    m = IndexMapping(default_analyzer="keyword", compose_all=True)
+    m.add(FieldMapping("host", analyzer="keyword"))
+    corpus = spark.createDataFrame(
+        [
+            ("a", "web1", "192.168.1.10"),
+            ("b", "web2", "192.168.1.250"),
+            ("c", "db1", "192.168.2.7"),
+            ("d", "edge", "10.0.0.1"),
+        ],
+        ["id", "host", "addr"],
+    )
+    IndexBuilder(spark, m, path).build(corpus, id_expr=F.col("id"))
+    idx = SearchIndex(spark, path, m)
+
+    def ids(cidr):
+        res = Searcher(idx).search(
+            SearchRequest(
+                query=parse_query({"field": "addr", "cidr": cidr}),
+                with_total=True,
+            )
+        )
+        return sorted(r["_id"] for r in res.hits.collect())
+
+    assert ids("192.168.1.0/24") == ["a", "b"]
+    assert ids("192.168.0.0/16") == ["a", "b", "c"]
+    assert ids("10.0.0.1") == ["d"]  # bare address = /32
+    assert ids("172.16.0.0/12") == []
