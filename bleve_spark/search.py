@@ -46,6 +46,17 @@ class FacetRequest:
 
 
 @dataclass
+class KNNRequest:
+    """ref: search_knn.go:42-49 (KNNRequest: field/vector/k/boost).
+    Scored by cosine similarity over the stored vector column."""
+
+    field: str
+    vector: Sequence[float]
+    k: int = 10
+    boost: float = 1.0
+
+
+@dataclass
 class SearchRequest:
     """ref: search_no_knn.go:48-85 (SearchRequest)."""
 
@@ -65,6 +76,9 @@ class SearchRequest:
     # attach per-hit term locations (ref: SearchRequest.IncludeLocations,
     # search/search.go DocumentMatch.Locations)
     include_locations: bool = False
+    # vector searches disjunction-merged with the main query
+    # (ref: search_knn.go:165)
+    knn: Sequence["KNNRequest"] = ()
 
 
 @dataclass
@@ -1162,12 +1176,33 @@ class Searcher:
         if (
             not req.facets
             and not req.with_total
+            and not req.knn
             and req.search_after is None
             and score_first_sort
         ):
             scored = self._wand_scored(req.query, req.from_ + req.size)
         if scored is None:
             scored = self.matches(req.query)
+        for kr in req.knn:
+            # top-k by cosine over the stored vector column, then
+            # disjunction-merge with the query hits (score sum — ref:
+            # search_knn.go:165 knn hits merged as a disjunction)
+            from .ops.similarity import cosine_to_query
+
+            knn_scored = (
+                cosine_to_query(self.index.docs, kr.vector, kr.field)
+                .select(
+                    "docid",
+                    (F.col("cos") * F.lit(kr.boost)).alias("score"),
+                )
+                .orderBy(F.desc("score"), "docid")
+                .limit(kr.k)
+            )
+            scored = (
+                scored.unionByName(knn_scored)
+                .groupBy("docid")
+                .agg(F.sum("score").alias("score"))
+            )
         total = scored.count() if req.with_total else None
         hits = scored.join(self.index.docs, "docid")
 

@@ -250,3 +250,60 @@ def test_bm25_mode(fixture_index):
         assert got[_id] == pytest.approx(e, rel=1e-9)
     # b has tf=3 and is shorter -> must outrank a
     assert got["b"] > got["a"]
+
+
+def test_knn_request_merges_with_query(spark):
+    """KNN hits disjunction-merge with the text query
+    (ref: search_knn.go:42-49,165)."""
+    import shutil as sh
+
+    from bleve_spark import (
+        FieldMapping,
+        IndexBuilder,
+        IndexMapping,
+        SearchIndex,
+        Searcher,
+        SearchRequest,
+    )
+    from bleve_spark.search import KNNRequest
+    from bleve_spark import query as Qm
+
+    path = "/tmp/bleve_spark_knn_test_index"
+    sh.rmtree(path, ignore_errors=True)
+    m = IndexMapping(default_analyzer="standard", compose_all=True)
+    m.add(FieldMapping("body"))
+    corpus = spark.createDataFrame(
+        [
+            ("a", "alpha doc", [1.0, 0.0, 0.0]),
+            ("b", "beta doc", [0.9, 0.1, 0.0]),
+            ("c", "gamma doc", [0.0, 1.0, 0.0]),
+        ],
+        ["id", "body", "embedding"],
+    )
+    IndexBuilder(spark, m, path).build(corpus, id_expr=F.col("id"))
+    idx = SearchIndex(spark, path, m)
+
+    # pure knn (match_none base): nearest two to [1,0,0]
+    res = Searcher(idx).search(
+        SearchRequest(
+            query=Qm.MatchNoneQuery(),
+            knn=[KNNRequest(field="embedding", vector=[1.0, 0.0, 0.0], k=2)],
+            with_total=True,
+        )
+    )
+    got = [(r["_id"], round(r["score"], 4)) for r in res.hits.collect()]
+    assert [g[0] for g in got] == ["a", "b"]
+    assert got[0][1] == pytest.approx(1.0, abs=1e-4)
+    assert res.total == 2
+
+    # knn merged with a term query: doc c matches text, a/b match knn
+    res2 = Searcher(idx).search(
+        SearchRequest(
+            query=Qm.TermQuery(field="body", term="gamma"),
+            knn=[KNNRequest(field="embedding", vector=[1.0, 0.0, 0.0], k=1)],
+            with_total=True,
+        )
+    )
+    ids = sorted(r["_id"] for r in res2.hits.collect())
+    assert ids == ["a", "c"]
+    assert res2.total == 2
