@@ -428,84 +428,99 @@ class Searcher:
                     slot_entries, columns=["term", "slot", "nalts"]
                 )
             )
-            parts = decoded.join(F.broadcast(slot_df), "term")
-            g = parts.groupBy("docid").agg(
-                F.collect_list(F.struct("slot", "positions")).alias("slots"),
-                F.count_distinct(F.col("slot")).alias("nslots_present"),
-            ).where(F.col("nslots_present") >= nslots)
-
-            @F.pandas_udf(T.BooleanType())
-            def phrase_match(slots_col: pd.Series) -> pd.Series:
-                def check(slot_rows):
-                    pos_by_slot: dict = {}
-                    for s in slot_rows:
-                        pos_by_slot.setdefault(s["slot"], set()).update(
-                            s["positions"]
-                        )
-                    if len(pos_by_slot) < nslots:
-                        return False
-                    # iterative chain intersection (exact) / DFS (slop)
-                    if slop == 0:
-                        cur = set(pos_by_slot[0])
-                        for i, d in enumerate(deltas, 1):
-                            cur = {p + d for p in cur} & pos_by_slot[i]
-                            if not cur:
-                                return False
-                        return True
-
-                    def dfs(slot_i, prev_pos, budget):
-                        if slot_i == nslots:
-                            return True
-                        want = prev_pos + deltas[slot_i - 1]
-                        for p in pos_by_slot[slot_i]:
-                            dev = abs(p - want)
-                            if p > prev_pos and dev <= budget and dfs(
-                                slot_i + 1, p, budget - dev
-                            ):
-                                return True
-                        return False
-
-                    return any(
-                        dfs(1, p0, slop) for p0 in pos_by_slot[0]
-                    )
-
-                return slots_col.map(check)
-
-            matched = g.where(phrase_match(F.col("slots"))).select("docid")
-            # conjunction of per-slot scores; a multi-alternative slot
-            # scores like a disjunction (sum x matched/total coord in
-            # tfidf mode, ref: scorer/scorer_disjunction.go:65-66)
+            # score each (doc, slot, term) row JVM-side, then ONE
+            # aggregation + ONE Arrow UDF evaluates the position chain
+            # and the per-slot score fold together (score NULL = no
+            # phrase path) — no second shuffle, no re-join
             idf_map = F.create_map(
                 *[x for t, i in term_idf.items() for x in (F.lit(t), F.lit(i))]
             )
-            per_slot = (
-                parts.select(
-                    "docid",
-                    "slot",
-                    "nalts",
-                    "term",
-                    self._score_col_dynamic_idf(
-                        F.col("tf"),
-                        F.col("length"),
-                        idf_map[F.col("term")],
-                        boost,
-                        qn,
-                        avg_len,
-                    ).alias("s"),
-                )
-                .groupBy("docid", "slot", "nalts")
-                .agg(
-                    F.sum("s").alias("slot_sum"),
-                    F.count_distinct(F.col("term")).alias("nmatch"),
-                )
+            parts = decoded.join(F.broadcast(slot_df), "term").select(
+                "docid",
+                "slot",
+                "nalts",
+                "positions",
+                self._score_col_dynamic_idf(
+                    F.col("tf"),
+                    F.col("length"),
+                    idf_map[F.col("term")],
+                    boost,
+                    qn,
+                    avg_len,
+                ).alias("s"),
             )
-            slot_score = F.col("slot_sum")
-            if self.similarity == scoring.TFIDF:
-                slot_score = slot_score * F.col("nmatch") / F.col("nalts")
-            scores = per_slot.groupBy("docid").agg(
-                F.sum(slot_score).alias("score")
+            g = parts.groupBy("docid").agg(
+                F.collect_list(
+                    F.struct("slot", "nalts", "positions", "s")
+                ).alias("rows"),
+                F.count_distinct(F.col("slot")).alias("nslots_present"),
+            ).where(F.col("nslots_present") >= nslots)
+
+            tfidf_mode = self.similarity == scoring.TFIDF
+
+            @F.pandas_udf(T.DoubleType())
+            def phrase_score(rows_col: pd.Series) -> pd.Series:
+                def eval_doc(rows):
+                    pos_by_slot: dict = {}
+                    slot_sum: dict = {}
+                    slot_cnt: dict = {}
+                    slot_nalts: dict = {}
+                    for r in rows:
+                        sl = r["slot"]
+                        pos_by_slot.setdefault(sl, set()).update(
+                            r["positions"]
+                        )
+                        # rows are distinct terms per (doc, slot):
+                        # decoded is unique per (doc, term)
+                        slot_sum[sl] = slot_sum.get(sl, 0.0) + r["s"]
+                        slot_cnt[sl] = slot_cnt.get(sl, 0) + 1
+                        slot_nalts[sl] = r["nalts"]
+                    if len(pos_by_slot) < nslots:
+                        return None
+                    # iterative chain intersection (exact) / DFS (slop)
+                    if slop == 0:
+                        cur = set(pos_by_slot[0])
+                        ok = True
+                        for i, d in enumerate(deltas, 1):
+                            cur = {p + d for p in cur} & pos_by_slot[i]
+                            if not cur:
+                                ok = False
+                                break
+                    else:
+
+                        def dfs(slot_i, prev_pos, budget):
+                            if slot_i == nslots:
+                                return True
+                            want = prev_pos + deltas[slot_i - 1]
+                            for p in pos_by_slot[slot_i]:
+                                dev = abs(p - want)
+                                if p > prev_pos and dev <= budget and dfs(
+                                    slot_i + 1, p, budget - dev
+                                ):
+                                    return True
+                            return False
+
+                        ok = any(dfs(1, p0, slop) for p0 in pos_by_slot[0])
+                    if not ok:
+                        return None
+                    # conjunction of per-slot scores; a multi-alternative
+                    # slot scores like a disjunction (sum x matched/total
+                    # coord in tfidf mode, ref: scorer_disjunction.go:65)
+                    if tfidf_mode:
+                        return sum(
+                            slot_sum[sl] * slot_cnt[sl] / slot_nalts[sl]
+                            for sl in slot_sum
+                        )
+                    return sum(slot_sum.values())
+
+                return rows_col.map(eval_doc)
+
+            return (
+                g.select(
+                    "docid", phrase_score(F.col("rows")).alias("score")
+                )
+                .where(F.col("score").isNotNull())
             )
-            return matched.join(scores, "docid").select("docid", "score")
 
         return _Plan(weight, build, n_leaves=len(present))
 
