@@ -456,22 +456,13 @@ ORDER BY cos_r DESC, vec_id LIMIT 10
 
 
 def _q_emb_neardup(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = similarity._dot(F.col("va"), F.col("vb")) / (
-        similarity._norm(F.col("va")) * similarity._norm(F.col("vb"))
-    )
-    return (
-        pairs.withColumn("cos_r", r4(cos))
-        .where(F.col("cos_r") >= 0.5)
-        .select("id_a", "id_b", "cos_r")
-    )
+    # Scalable path: banded-LSH candidate generation + exact cosine filter
+    # (ops/similarity.all_pairs_above) — no all-pairs join in the plan.
+    # Precision is exact (threshold filter); recall vs the brute-force
+    # oracle is asserted at test scale in tests/test_ops.py.
+    return similarity.all_pairs_above(
+        _load(spark, sf_dir, "embeddings"), threshold=0.5
+    ).select("id_a", "id_b", F.col("cos").alias("cos_r"))
 
 
 _SQL_EMB_NEARDUP = f"""

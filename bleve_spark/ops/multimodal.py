@@ -95,19 +95,21 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
+    # Row tuples, not pd.DataFrame: pandas promotes None-bearing int columns
+    # (width/height/duration_ms) to float64, which IntegerType rejects.
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8)
         rows.append(
-            {
-                "media_id": i,
-                "kind": kind,
-                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                "width": 64 if kind != "audio" else None,
-                "height": 64 if kind != "audio" else None,
-                "duration_ms": None if kind == "image" else 1000 + i,
-                "payload": payload.tobytes(),
-            }
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind != "audio" else None,
+                64 if kind != "audio" else None,
+                None if kind == "image" else 1000 + i,
+                payload.tobytes(),
+            )
         )
-    return spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

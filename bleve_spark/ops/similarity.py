@@ -112,25 +112,71 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    dim: int,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded random-hyperplane signature: one (band, band_val) row per
+    band per vector.  A pair with angular similarity p per bit collides in
+    >=1 band w.p. 1-(1-p^bits)^bands — the OR-of-bands construction that
+    gives high recall at a cosine threshold without an all-pairs join."""
+    planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def bands_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = ((m @ planes.T) > 0).astype(np.int64)
+        # pack each band's bits into one int
+        out = []
+        weights = 1 << np.arange(bits_per_band)
+        for row in bits:
+            out.append(
+                [
+                    int((row[b * bits_per_band:(b + 1) * bits_per_band] * weights).sum())
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return df.withColumn("bands", bands_udf(F.col(vec_col))).select(
+        "*", F.posexplode("bands").alias("band", "band_val")
+    ).drop("bands")
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_bands: int = 24,
+    bits_per_band: int = 2,
     seed: int = 7,
     dim: Optional[int] = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: LSH-bucket equi-join candidates (same
-    bucket), exact cosine filter >= threshold. Equi-join keeps this
-    shuffle-bound instead of O(n^2)."""
+    """Embedding near-dup pairs: banded-LSH equi-join candidates (same
+    (band, band_val) in any band), exact cosine filter >= threshold.
+    The equi-join keeps this shuffle-bound instead of O(n^2); the exact
+    filter means precision is 1.0 — LSH only generates candidates.
+
+    Recall: a pair at cosine c collides per bit w.p. 1-arccos(c)/pi, so
+    per band p^bits and overall 1-(1-p^bits)^bands.  Defaults (24 bands x
+    2 bits) give miss < 1e-6 at c=0.5.  At a production near-dup
+    threshold (c>=0.9, p=0.86) use wider bands (e.g. 12 bits) so each
+    band has 4096 buckets and candidate volume stays ~n^2/2^bits per
+    band; bits_per_band should grow with log2(n) at fixed candidate
+    budget.  tests/test_ops.py asserts full recall vs brute force at
+    test scale."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
-    b = lsh_bucket(df, dim, n_planes, seed, vec_col)
+    b = lsh_band_keys(df, dim, n_bands, bits_per_band, seed, vec_col)
     a = b.alias("a")
     c = b.alias("b")
     pairs = (
-        a.join(c, F.col("a.bucket") == F.col("b.bucket"))
+        a.join(c, ["band", "band_val"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -138,6 +184,7 @@ def all_pairs_above(
             F.col(f"a.{vec_col}").alias("va"),
             F.col(f"b.{vec_col}").alias("vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))

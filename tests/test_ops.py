@@ -80,6 +80,39 @@ def test_knn_brute_vs_lsh(spark):
     assert withself[0]["vec_id"] == 0 and withself[0]["cos_r"] == 1.0
 
 
+def test_all_pairs_above_full_recall(spark):
+    """Banded LSH candidates + exact cosine filter == brute-force all
+    pairs at test scale (precision exact by construction; recall from
+    24x2 banding: miss < 1e-6 per pair at cos=0.5)."""
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16))
+    vecs[7] = vecs[3] + 0.1 * rng.standard_normal(16)  # planted near-dup
+    pdf = pd.DataFrame(
+        {"vec_id": range(300), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in similarity.all_pairs_above(df, threshold=0.5).collect()
+    )
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from bleve_spark.ops.util import r4
+
+    cos = similarity._dot(F.col("va"), F.col("vb")) / (
+        similarity._norm(F.col("va")) * similarity._norm(F.col("vb"))
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["c"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("c", r4(cos))
+        .where(F.col("c") >= 0.5)
+        .collect()
+    )
+    assert got == want
+    assert (3, 7) in {(x, y) for x, y, _ in got}
+
+
 def test_text_ops(docs_df):
     tc = {r["doc_id"]: r["n_tokens"] for r in text_ops.token_count(docs_df).collect()}
     assert tc[0] == 9
