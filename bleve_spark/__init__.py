@@ -15,7 +15,12 @@ from .highlight import HighlightRequest
 from .index import SearchIndex
 from .mapping import FieldMapping, IndexMapping, code_corpus_mapping, documents_mapping
 from .query import parse_query
-from .search import FacetRequest, Searcher, SearchRequest
+from .search import (
+    FacetRequest,
+    Searcher,
+    SearchRequest,
+    TooManyClausesError,
+)
 from .writer import IndexWriter
 
 __all__ = [

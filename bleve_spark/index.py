@@ -27,7 +27,9 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("docid", T.LongType()),
         T.StructField("tf", T.IntegerType()),
         T.StructField("length", T.IntegerType()),
-        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        # int64: array-field positions are offset by element_index *
+        # ARRAY_POSITION_STRIDE (2^20), so ~2048+ elements overflow int32
+        T.StructField("positions", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -238,14 +240,27 @@ class SearchIndex:
             if self._term_stats_cache[(field, t)] is not None
         }
 
-    def expand_terms(self, field: str, predicate) -> List[Tuple[str, int]]:
-        """Dictionary enumeration for prefix/regexp/fuzzy/range queries
-        (ref: index.go:230-232, snapshot_index_dict.go): returns
-        [(term, df)] matching a Column predicate over `term`."""
+    def expansion(self, field: str, predicate) -> DataFrame:
+        """Lazy dictionary slice (term, df) matching a Column predicate
+        over `term` — the FieldDict automaton analogue (ref:
+        index.go:230-232, snapshot_index_dict.go). Stays a DataFrame so
+        multi-term queries never materialize the term list on the
+        driver; the planner joins it to the postings scan."""
+        return self.dictionary.where(
+            (F.col("field") == field) & predicate
+        ).select("term", "df")
+
+    def expand_terms(
+        self, field: str, predicate, limit: int = 1024
+    ) -> List[Tuple[str, int]]:
+        """Driver-side [(term, df)] enumeration, hard-capped at `limit`
+        rows. Only for inherently driver-bounded consumers (highlight
+        term sets over the k-row page); query planning uses the
+        DataFrame-native expansion() instead."""
         rows = (
-            self.dictionary.where((F.col("field") == field) & predicate)
-            .select("term", "df")
-            .orderBy("term")
+            self.expansion(field, predicate)
+            .orderBy(F.desc("df"), "term")
+            .limit(limit)
             .collect()
         )
         return [(r["term"], int(r["df"])) for r in rows]

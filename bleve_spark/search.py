@@ -35,6 +35,25 @@ from .highlight import HighlightRequest, highlight_value
 from .index import SearchIndex
 
 
+# Maximum clauses a multi-term expansion / disjunction may produce;
+# 0 = unlimited, matching the reference default
+# (ref: search/searcher/search_disjunction.go:25-28).
+DisjunctionMaxClauseCount = 0
+
+
+class TooManyClausesError(Exception):
+    """ref: search/searcher/search_disjunction.go:112-115."""
+
+    def __init__(self, field: str, count: int, limit: int):
+        super().__init__(
+            f"TooManyClauses over field: `{field}` [{count} > "
+            f"maxClauseCount, which is set to {limit}]"
+        )
+        self.field = field
+        self.count = count
+        self.limit = limit
+
+
 @dataclass
 class FacetRequest:
     """ref: search/facets_builder.go + facet/facet_builder_*.go."""
@@ -184,43 +203,86 @@ class Searcher:
 
         return _Plan(weight, build)
 
+    def _idf_col(self, df_col: Column) -> Column:
+        """Per-term idf as a column over the dictionary `df` column —
+        the vectorized form of scoring.idf for DataFrame-native
+        multi-term expansions."""
+        n = float(self.index.doc_count)
+        dfd = df_col.cast("double")
+        if self.similarity == scoring.TFIDF:
+            # ref: scorer_term.go:71
+            return F.lit(1.0) + F.log(F.lit(n) / (dfd + F.lit(1.0)))
+        return F.log(
+            F.lit(1.0) + (F.lit(n) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+        )
+
     def _plan_multi_term(
         self,
         fld: str,
-        terms_df: List[Tuple[str, int]],
+        predicate: Column,
         boost: float,
         block_filter=None,
     ) -> _Plan:
-        """Expanded dictionary terms -> disjunction of term searchers
-        (ref: searcher/search_multi_term.go)."""
-        if not terms_df:
+        """Dictionary-expansion queries (prefix/wildcard/regexp/fuzzy/
+        term_range) -> disjunction of term searchers (ref:
+        searcher/search_multi_term.go).
+
+        DataFrame-native: the matching dictionary slice never reaches the
+        driver. One small agg job yields (clause count, queryNorm weight);
+        at execution the same predicate filters the postings scan
+        (prefix predicates push down to parquet) and the slice joins in
+        per-term df, from which idf is computed as a column. A 1-char
+        prefix over millions of dictionary terms therefore costs one
+        scalar agg on the driver, not a million-entry literal plan.
+
+        Clause guard parity (ref: search_multi_term.go:96-98,
+        search_disjunction.go:105-115): when DisjunctionMaxClauseCount
+        is nonzero and the expansion exceeds it, raises
+        TooManyClausesError exactly like the reference (whose default is
+        also 0 = unlimited, search_disjunction.go:28)."""
+        slice_df = self.index.expansion(fld, predicate)
+        idf_c = self._idf_col(F.col("df"))
+        if self.similarity == scoring.TFIDF:
+            w = F.lit(boost) * idf_c
+            weight_col = w * w
+        else:
+            weight_col = F.lit(0.0)
+        row = slice_df.agg(
+            F.count("*").alias("n"), F.sum(weight_col).alias("w")
+        ).collect()[0]
+        n_terms = int(row["n"])
+        if DisjunctionMaxClauseCount and n_terms > DisjunctionMaxClauseCount:
+            raise TooManyClausesError(fld, n_terms, DisjunctionMaxClauseCount)
+        if n_terms == 0:
             return _Plan(0.0, lambda qn: self._empty())
-        n = self.index.doc_count
+        weight = float(row["w"]) if row["w"] is not None else 0.0
         avg_len = self.index.avg_len(fld)
-        term_idf = {
-            t: scoring.idf(self.similarity, n, df) for t, df in terms_df
-        }
-        weight = sum(
-            scoring.term_weight(self.similarity, boost, i)
-            for i in term_idf.values()
-        )
-        total = len(terms_df)
+        total = n_terms
 
         def build(qn):
-            qterms = [t for t, _ in terms_df]
-            decoded = self.index.decoded(
-                fld,
-                qterms,
-                blocks=self._restricted_blocks(fld, qterms, block_filter),
+            blocks = self.index.postings.where(
+                (F.col("field") == fld) & predicate
             )
-            idf_map = F.create_map(
-                *[x for t, i in term_idf.items() for x in (F.lit(t), F.lit(i))]
+            if block_filter is not None:
+                if isinstance(block_filter, list):
+                    blocks = blocks.where(F.col("block").isin(block_filter))
+                else:
+                    blocks = blocks.join(F.broadcast(block_filter), "block")
+            decoded = self.index.decoded(fld, [], blocks=blocks)
+            # known expansion cardinality picks the join strategy: small
+            # slices broadcast; huge ones shuffle (AQE re-plans at runtime)
+            exp = (
+                F.broadcast(slice_df) if n_terms <= 65536 else slice_df
             )
-            idf_col = idf_map[F.col("term")]
-            per_term = decoded.select(
+            per_term = decoded.join(exp, "term").select(
                 "docid",
                 self._score_col_dynamic_idf(
-                    F.col("tf"), F.col("length"), idf_col, boost, qn, avg_len
+                    F.col("tf"),
+                    F.col("length"),
+                    self._idf_col(F.col("df")),
+                    boost,
+                    qn,
+                    avg_len,
                 ).alias("score"),
             )
             agg = per_term.groupBy("docid").agg(
@@ -233,7 +295,7 @@ class Searcher:
                 score = score * F.col("nmatch") / F.lit(total)
             return agg.select("docid", score.alias("score"))
 
-        return _Plan(weight, build, n_leaves=len(terms_df))
+        return _Plan(weight, build, n_leaves=n_terms)
 
     def _score_col_dynamic_idf(
         self, tf_col, len_col, idf_col: Column, boost, qn, avg_len
@@ -570,19 +632,16 @@ class Searcher:
             ]
             return self._plan_phrase(fld, slot_terms, b, q.slop)
         if isinstance(q, Q.PrefixQuery):
-            terms = self.index.expand_terms(
-                fld, F.col("term").startswith(q.prefix)
+            return self._plan_multi_term(
+                fld, F.col("term").startswith(q.prefix), b
             )
-            return self._plan_multi_term(fld, terms, b)
         if isinstance(q, Q.WildcardQuery):
             regex = _wildcard_to_regex(q.wildcard)
-            terms = self.index.expand_terms(fld, F.col("term").rlike(regex))
-            return self._plan_multi_term(fld, terms, b)
+            return self._plan_multi_term(fld, F.col("term").rlike(regex), b)
         if isinstance(q, Q.RegexpQuery):
-            terms = self.index.expand_terms(
-                fld, F.col("term").rlike(f"^(?:{q.regexp})$")
+            return self._plan_multi_term(
+                fld, F.col("term").rlike(f"^(?:{q.regexp})$"), b
             )
-            return self._plan_multi_term(fld, terms, b)
         if isinstance(q, Q.FuzzyQuery):
             return self._plan_fuzzy(fld, q.term, q.fuzziness, q.prefix_length, b)
         if isinstance(q, Q.TermRangeQuery):
@@ -599,7 +658,7 @@ class Searcher:
                     if q.inclusive_max
                     else F.col("term") < q.max
                 )
-            return self._plan_multi_term(fld, self.index.expand_terms(fld, pred), b)
+            return self._plan_multi_term(fld, pred, b)
         if isinstance(q, Q.NumericRangeQuery):
             col = F.col(fld).cast("double")
             pred = F.lit(True)
@@ -729,7 +788,7 @@ class Searcher:
         pred = F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness
         if prefix_len > 0:
             pred = pred & F.col("term").startswith(term[:prefix_len])
-        return self._plan_multi_term(fld, self.index.expand_terms(fld, pred), boost)
+        return self._plan_multi_term(fld, pred, boost)
 
     # -- execution -------------------------------------------------------
 

@@ -212,6 +212,29 @@ def test_prefix_wildcard_regexp_fuzzy(fixture_index):
     } == {"a", "b", "e"}
 
 
+def test_too_many_clauses_guard(fixture_index):
+    """Clause-count guard parity (ref: search_multi_term.go:96-98,
+    search_disjunction.go:105-115); default 0 = unlimited like the
+    reference (search_disjunction.go:28)."""
+    from bleve_spark import search as search_mod
+    from bleve_spark import TooManyClausesError
+
+    s = Searcher(fixture_index)
+    old = search_mod.DisjunctionMaxClauseCount
+    search_mod.DisjunctionMaxClauseCount = 1
+    try:
+        with pytest.raises(TooManyClausesError) as e:
+            s.search(
+                SearchRequest(query=Q.PrefixQuery(field="body", prefix=""))
+            )
+        assert "maxClauseCount" in str(e.value)
+    finally:
+        search_mod.DisjunctionMaxClauseCount = old
+    # unlimited again: query plans fine
+    res = s.search(SearchRequest(query=Q.PrefixQuery(field="body", prefix="qu")))
+    assert len(rows(res.hits)) == 2
+
+
 def test_match_all_and_docid(fixture_index):
     s = Searcher(fixture_index)
     assert (
