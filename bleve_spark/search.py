@@ -549,20 +549,31 @@ class Searcher:
                                 ok = False
                                 break
                     else:
-
-                        def dfs(slot_i, prev_pos, budget):
+                        # ref findPhrasePaths (search_phrase.go:381-440):
+                        # dist = |prevPos+1 - pos| charged to the slop
+                        # budget — out-of-order positions ARE allowed;
+                        # a location already used in the path cannot be
+                        # reused (the term+loc check at :429-433; one
+                        # position holds one token, so positions stand
+                        # in for term+loc)
+                        def dfs(slot_i, prev_pos, budget, used):
                             if slot_i == nslots:
                                 return True
                             want = prev_pos + deltas[slot_i - 1]
                             for p in pos_by_slot[slot_i]:
+                                if p in used:
+                                    continue
                                 dev = abs(p - want)
-                                if p > prev_pos and dev <= budget and dfs(
-                                    slot_i + 1, p, budget - dev
+                                if dev <= budget and dfs(
+                                    slot_i + 1, p, budget - dev, used | {p}
                                 ):
                                     return True
                             return False
 
-                        ok = any(dfs(1, p0, slop) for p0 in pos_by_slot[0])
+                        ok = any(
+                            dfs(1, p0, slop, frozenset((p0,)))
+                            for p0 in pos_by_slot[0]
+                        )
                     if not ok:
                         return None
                     # conjunction of per-slot scores; a multi-alternative
@@ -1240,7 +1251,13 @@ class Searcher:
         )
 
     def search(self, req: SearchRequest) -> SearchResult:
-        self.similarity = req.similarity
+        if req.similarity != self.similarity:
+            # never mutate shared planner state — two concurrent requests
+            # with different similarities must not race; plan through a
+            # per-request clone instead
+            return Searcher(
+                self.index, req.similarity, self.wand_min_postings
+            ).search(req)
         scored = None
         score_first_sort = (
             len(req.sort) > 0
@@ -1279,6 +1296,10 @@ class Searcher:
             )
         total = scored.count() if req.with_total else None
         hits = scored.join(self.index.docs, "docid")
+        if req.facets:
+            # the page job and each facet job all consume the matched
+            # set — cache it instead of recomputing per job
+            hits = hits.persist()
 
         specs = _parse_sort_specs(req.sort)
         key_cols = [self._sort_key_col(sp, hits) for sp in specs]
@@ -1352,43 +1373,63 @@ class Searcher:
 
     def _facet(self, hits: DataFrame, freq: FacetRequest) -> DataFrame:
         """Terms / numeric-range / date-range facets
-        (ref: facet/facet_builder_{terms,numeric,datetime}.go)."""
-        if freq.numeric_ranges:
-            col = F.col(freq.field).cast("double")
-            bucket = F.lit(None).cast("string")
-            for r in reversed(freq.numeric_ranges):
-                cond = F.lit(True)
-                if r.get("min") is not None:
-                    cond = cond & (col >= r["min"])
-                if r.get("max") is not None:
-                    cond = cond & (col < r["max"])
-                bucket = F.when(cond, r["name"]).otherwise(bucket)
+        (ref: facet/facet_builder_{terms,numeric,datetime}.go).
+
+        A doc increments EVERY matching range, not just the first — the
+        reference's UpdateVisitor loops all ranges
+        (facet_builder_numeric.go:41-49); overlapping ranges therefore
+        multi-count. Implemented as an array of matching range names +
+        explode (one shuffle, no per-range job). Array-typed terms-facet
+        fields count each element (docvalues are per-term)."""
+        if freq.numeric_ranges or freq.date_ranges:
+            if freq.numeric_ranges:
+                col = F.col(freq.field).cast("double")
+                conds = []
+                for r in freq.numeric_ranges:
+                    cond = F.lit(True)
+                    if r.get("min") is not None:
+                        cond = cond & (col >= r["min"])
+                    if r.get("max") is not None:
+                        cond = cond & (col < r["max"])
+                    conds.append((cond, r["name"]))
+            else:
+                col = F.col(freq.field).cast("timestamp")
+                conds = []
+                for r in freq.date_ranges:
+                    cond = F.lit(True)
+                    if r.get("start") is not None:
+                        cond = cond & (
+                            col >= F.lit(r["start"]).cast("timestamp")
+                        )
+                    if r.get("end") is not None:
+                        cond = cond & (col < F.lit(r["end"]).cast("timestamp"))
+                    conds.append((cond, r["name"]))
+            matched = F.array(
+                *[F.when(c, F.lit(name)) for c, name in conds]
+            )
             return (
-                hits.select(bucket.alias("range"))
-                .where(F.col("range").isNotNull())
+                hits.select(
+                    F.explode(
+                        F.filter(matched, lambda x: x.isNotNull())
+                    ).alias("range")
+                )
                 .groupBy("range")
                 .agg(F.count("*").alias("count"))
                 .orderBy(F.desc("count"), "range")
             )
-        if freq.date_ranges:
-            col = F.col(freq.field).cast("timestamp")
-            bucket = F.lit(None).cast("string")
-            for r in reversed(freq.date_ranges):
-                cond = F.lit(True)
-                if r.get("start") is not None:
-                    cond = cond & (col >= F.lit(r["start"]).cast("timestamp"))
-                if r.get("end") is not None:
-                    cond = cond & (col < F.lit(r["end"]).cast("timestamp"))
-                bucket = F.when(cond, r["name"]).otherwise(bucket)
-            return (
-                hits.select(bucket.alias("range"))
-                .where(F.col("range").isNotNull())
-                .groupBy("range")
-                .agg(F.count("*").alias("count"))
-                .orderBy(F.desc("count"), "range")
+        term_col = F.col(freq.field)
+        try:
+            is_array = isinstance(
+                hits.schema[freq.field].dataType, T.ArrayType
             )
+        except Exception:
+            is_array = False
+        if is_array:
+            src = hits.select(F.explode(term_col).alias("term"))
+        else:
+            src = hits.select(term_col.alias("term"))
         return (
-            hits.groupBy(F.col(freq.field).alias("term"))
+            src.groupBy("term")
             .agg(F.count("*").alias("count"))
             .orderBy(F.desc("count"), "term")
             .limit(freq.size)

@@ -235,6 +235,61 @@ def test_too_many_clauses_guard(fixture_index):
     assert len(rows(res.hits)) == 2
 
 
+def test_slop_phrase_out_of_order(fixture_index):
+    """findPhrasePaths allows reversed-order positions within the slop
+    budget (ref: search_phrase.go:420-427 — dist=|prevPos+1 - pos| is
+    charged, never rejected for going backwards)."""
+    s = Searcher(fixture_index)
+    # doc c = "brown cow stands alone"; phrase [cow, brown] reversed:
+    # cow@2, brown@1 -> want = 2+1 = 3, dev = |1-3| = 2 -> slop 2 matches
+    res = s.search(
+        SearchRequest(
+            query=Q.PhraseQuery(field="body", terms=["cow", "brown"], slop=2)
+        )
+    )
+    assert {r[0] for r in rows(res.hits)} == {"c"}
+    # slop 1 is not enough for the reversal
+    res2 = s.search(
+        SearchRequest(
+            query=Q.PhraseQuery(field="body", terms=["cow", "brown"], slop=1)
+        )
+    )
+    assert rows(res2.hits) == []
+    # a location cannot be reused for two slots (ref :429-433): doc d =
+    # "the dog sleeps" has one "dog"; [dog, dog] cannot match at any slop
+    res3 = s.search(
+        SearchRequest(
+            query=Q.PhraseQuery(field="body", terms=["dog", "dog"], slop=3)
+        )
+    )
+    assert "d" not in {r[0] for r in rows(res3.hits)}
+
+
+def test_overlapping_range_facets(fixture_index):
+    """Every matching range increments (ref: facet_builder_numeric.go
+    UpdateVisitor), not just the first in declaration order."""
+    from bleve_spark.search import FacetRequest
+
+    s = Searcher(fixture_index)
+    res = s.search(
+        SearchRequest(
+            query=Q.MatchAllQuery(),
+            facets={
+                "len": FacetRequest(
+                    field="docid",
+                    numeric_ranges=[
+                        {"name": "low", "min": 0, "max": 3},
+                        {"name": "all", "min": 0, "max": 100},
+                    ],
+                )
+            },
+        )
+    )
+    counts = {r["range"]: r["count"] for r in res.facets["len"].collect()}
+    assert counts["all"] == 5  # every doc, despite "low" also matching
+    assert counts["low"] == 3
+
+
 def test_match_all_and_docid(fixture_index):
     s = Searcher(fixture_index)
     assert (
