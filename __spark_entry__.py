@@ -421,9 +421,11 @@ GROUP BY cand.a, cand.b
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    # no SQL oracle (64-bit twiddling) — driver rows-only check
+    # no SQL oracle (64-bit twiddling) — driver rows-only check.
+    # max_hamming=3 -> 16-bit bands (65536 join buckets per band), the
+    # scale-safe pigeonhole configuration; see dedup.simhash_pairs.
     return dedup.simhash_pairs(
-        _load(spark, sf_dir, "documents"), max_hamming=16
+        _load(spark, sf_dir, "documents"), max_hamming=3
     )
 
 

@@ -202,15 +202,34 @@ def simhash64(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    text: str = "text",
+    max_hamming: int = 3,
+    min_band_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Candidate generation: split the 64-bit signature into max_hamming+1
     bands (pigeonhole: any pair within distance shares one exact band);
-    equi-join on (band_idx, band_value) — never a cross join."""
+    equi-join on (band_idx, band_value) — never a cross join.
+
+    The pigeonhole guarantee forces band width = 64 // (max_hamming+1),
+    so large distances make bands narrow and the equi-join degenerates
+    toward all-pairs (e.g. max_hamming=16 -> 3-bit bands -> 8 buckets).
+    min_band_bits floors this: the default 8 admits max_hamming <= 7
+    (256+ buckets per band); anything looser raises instead of silently
+    planning a quadratic join. Distances past that are not meaningful
+    near-dup thresholds for 64-bit SimHash anyway."""
     sig = simhash64(df, text)
     nbands = max_hamming + 1
     width = 64 // nbands
+    if width < min_band_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} forces {width}-bit bands "
+            f"(2^{width} join buckets) — candidate generation degenerates "
+            f"toward all-pairs. Use max_hamming <= "
+            f"{64 // min_band_bits - 1}, or pass a smaller min_band_bits "
+            f"to accept the cost explicitly."
+        )
     bands = sig.select(
         "doc_id",
         "simhash",

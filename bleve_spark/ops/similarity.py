@@ -87,6 +87,28 @@ def lsh_bucket(
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
+def lsh_candidates(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    n_planes: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Multi-probe LSH candidate filter: rows whose bucket is within
+    `probe_hamming` bits of the query's bucket. probe_hamming ==
+    n_planes degenerates to a full scan (exact recall)."""
+    dim = len(query_vec)
+    bucketed = lsh_bucket(df, dim, n_planes, seed, vec_col)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = (planes @ np.asarray(query_vec, dtype=float)) > 0
+    qbucket = int((qbits.astype(np.int64) << np.arange(n_planes)).sum())
+    return bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket)))
+        <= probe_hamming
+    ).drop("bucket")
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -100,14 +122,8 @@ def lsh_topk(
     """Approximate top-k: score only vectors whose LSH bucket is within
     `probe_hamming` bits of the query bucket (multi-probe). At 10^9
     vectors this scans ~(sum_{i<=h} C(p,i))/2^p of the data."""
-    dim = len(query_vec)
-    bucketed = lsh_bucket(df, dim, n_planes, seed, vec_col)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qbits = (planes @ np.asarray(query_vec, dtype=float)) > 0
-    qbucket = int((qbits.astype(np.int64) << np.arange(n_planes)).sum())
-    cand = bucketed.where(
-        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket)))
-        <= probe_hamming
+    cand = lsh_candidates(
+        df, query_vec, n_planes, seed, vec_col, probe_hamming
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 

@@ -126,9 +126,21 @@ class Searcher:
         index: SearchIndex,
         similarity: str = scoring.TFIDF,
         wand_min_postings: int = 50_000_000,
+        knn_lsh_min_docs: int = 1_000_000,
+        knn_lsh_planes: int = 12,
+        knn_lsh_probe: int = 2,
     ):
         self.index = index
         self.similarity = similarity
+        # SearchRequest.knn scans the corpus exhaustively below
+        # knn_lsh_min_docs (one vectorized pass; exact) and switches to
+        # multi-probe hyperplane-LSH candidate buckets above it —
+        # scanning ~(sum_{i<=probe} C(planes,i))/2^planes of the data.
+        # probe == planes gives exact recall (full scan). Thresholds
+        # documented in BASELINE.md.
+        self.knn_lsh_min_docs = knn_lsh_min_docs
+        self.knn_lsh_planes = knn_lsh_planes
+        self.knn_lsh_probe = knn_lsh_probe
         # block-max WAND engages only when the query's summed df clears
         # this floor. Cost model (measured, BASELINE.md): the pruning
         # adds ~2 extra driver jobs (metadata agg + phase-1 theta) worth
@@ -1256,7 +1268,12 @@ class Searcher:
             # with different similarities must not race; plan through a
             # per-request clone instead
             return Searcher(
-                self.index, req.similarity, self.wand_min_postings
+                self.index,
+                req.similarity,
+                self.wand_min_postings,
+                self.knn_lsh_min_docs,
+                self.knn_lsh_planes,
+                self.knn_lsh_probe,
             ).search(req)
         scored = None
         score_first_sort = (
@@ -1277,11 +1294,24 @@ class Searcher:
         for kr in req.knn:
             # top-k by cosine over the stored vector column, then
             # disjunction-merge with the query hits (score sum — ref:
-            # search_knn.go:165 knn hits merged as a disjunction)
-            from .ops.similarity import cosine_to_query
+            # search_knn.go:165 knn hits merged as a disjunction).
+            # Above knn_lsh_min_docs, candidates come from the
+            # multi-probe LSH buckets instead of a full corpus scan
+            # (the wand_min_postings cost-model pattern: the bucket
+            # UDF pass only pays off once the corpus dwarfs it)
+            from .ops.similarity import cosine_to_query, lsh_candidates
 
+            cand = self.index.docs
+            if self.index.doc_count >= self.knn_lsh_min_docs:
+                cand = lsh_candidates(
+                    cand,
+                    kr.vector,
+                    n_planes=self.knn_lsh_planes,
+                    probe_hamming=self.knn_lsh_probe,
+                    vec_col=kr.field,
+                )
             knn_scored = (
-                cosine_to_query(self.index.docs, kr.vector, kr.field)
+                cosine_to_query(cand, kr.vector, kr.field)
                 .select(
                     "docid",
                     (F.col("cos") * F.lit(kr.boost)).alias("score"),

@@ -54,8 +54,16 @@ def test_simhash(docs_df):
     ham01 = bin(sigs[0] ^ sigs[1] & (2**64 - 1)).count("1")
     ham04 = bin((sigs[0] ^ sigs[4]) & (2**64 - 1)).count("1")
     assert ham01 < ham04  # near-dup closer than unrelated
-    pairs = dedup.simhash_pairs(docs_df, max_hamming=16).collect()
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=3).collect()
     assert any(p["doc_a"] == 0 and p["doc_b"] == 2 for p in pairs)
+    # narrow-band configurations refuse to plan a degenerate join
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.simhash_pairs(docs_df, max_hamming=16)
+    # ... unless the caller accepts the cost explicitly
+    loose = dedup.simhash_pairs(
+        docs_df, max_hamming=16, min_band_bits=3
+    ).collect()
+    assert any(p["doc_a"] == 0 and p["doc_b"] == 2 for p in loose)
 
 
 def test_knn_brute_vs_lsh(spark):

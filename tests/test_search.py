@@ -385,3 +385,24 @@ def test_knn_request_merges_with_query(spark):
     ids = sorted(r["_id"] for r in res2.hits.collect())
     assert ids == ["a", "c"]
     assert res2.total == 2
+
+    # LSH scale path: forcing the bucket route (knn_lsh_min_docs=0) at
+    # full-recall probe settings (probe == planes) returns the identical
+    # top-k to the brute-force route
+    brute = Searcher(idx).search(
+        SearchRequest(
+            query=Qm.MatchNoneQuery(),
+            knn=[KNNRequest(field="embedding", vector=[1.0, 0.0, 0.0], k=2)],
+        )
+    )
+    lsh = Searcher(
+        idx, knn_lsh_min_docs=0, knn_lsh_planes=8, knn_lsh_probe=8
+    ).search(
+        SearchRequest(
+            query=Qm.MatchNoneQuery(),
+            knn=[KNNRequest(field="embedding", vector=[1.0, 0.0, 0.0], k=2)],
+        )
+    )
+    bt = [(r["_id"], round(r["score"], 6)) for r in brute.hits.collect()]
+    lt = [(r["_id"], round(r["score"], 6)) for r in lsh.hits.collect()]
+    assert bt == lt
