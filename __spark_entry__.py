@@ -240,6 +240,102 @@ FROM s, tot GROUP BY doc_id, tot.c
 """
 
 
+def _doc_index_de(spark, sf_dir) -> SearchIndex:
+    """Second index over `documents` analyzed with the German language
+    pack (lower -> stop_de -> normalize_de -> light_stemmer_de, ref:
+    analysis/lang/de/analyzer_de.go)."""
+    cache_key = sf_dir + ":de"
+    if cache_key in _INDEXES:
+        return _INDEXES[cache_key]
+    from bleve_spark import FieldMapping, IndexMapping
+
+    key = hashlib.md5(cache_key.encode()).hexdigest()[:10]
+    path = f"/tmp/bleve_spark_entry/{key}"
+    mapping = IndexMapping(default_analyzer="de", compose_all=False)
+    mapping.add(FieldMapping("text", analyzer="de"))
+    docs = _load(spark, sf_dir, "documents")
+    IndexBuilder(spark, mapping, path).build(
+        docs,
+        id_expr=F.col("doc_id").cast("string"),
+        fingerprint=f"{cache_key}:{docs.count()}",
+    )
+    idx = SearchIndex(spark, path, mapping)
+    _INDEXES[cache_key] = idx
+    return idx
+
+
+def _q_ft_match_de(spark, sf_dir):
+    s = Searcher(_doc_index_de(spark, sf_dir))
+    q = Q.MatchQuery(field="text", text="value merge")
+    return _all_hits(
+        s, q, F.col("doc_id"), r4(F.col("score")).alias("score_r")
+    )
+
+
+# German chain in SQL: stop_de -> normalize_de (ASCII subset: delete an
+# 'e' that follows a/o, or follows a 'u' that itself followed a
+# non-vowel/non-qy — exactly the N/V/U state machine's reachable cases
+# for ASCII tokens) -> light stemmer steps 1+2 as suffix CASEs.
+# Query terms, hand-derived through the same chain:
+#   "value" -> normalize deletes e after u -> "valu" -> stem: no rule
+#   "merge" -> normalize keeps both e (state V/N) -> stem drops final e
+#              -> "merg"
+_DE_STOP_SQL = None  # filled below (list literal is long)
+
+
+def _de_stop_list_sql() -> str:
+    from bleve_spark.analysis.stopwords_lang import DE_STOP_WORDS
+
+    return ",".join("'" + w.replace("'", "''") + "'" for w in sorted(DE_STOP_WORDS))
+
+
+_ST_END = "('b','d','f','g','h','k','l','m','n','t')"
+
+_DE_CHAIN = f"""
+raw_de AS (SELECT doc_id, lower(unnest(string_split(text,' '))) AS t
+           FROM documents),
+live_de AS (SELECT doc_id, regexp_replace(t, '(^u|[^aeiouqy]u|[ao])e',
+                                          '\\1', 'g') AS t
+            FROM raw_de WHERE t NOT IN ({{stops}})),
+st1 AS (SELECT doc_id, CASE
+    WHEN len(t)>5 AND t LIKE '%ern' THEN t[1:-4]
+    WHEN len(t)>4 AND t[-2:-2] = 'e' AND t[-1:] IN ('m','n','r','s')
+        THEN t[1:-3]
+    WHEN len(t)>3 AND t[-1:] = 'e' THEN t[1:-2]
+    WHEN len(t)>3 AND t[-1:] = 's' AND t[-2:-2] IN {_ST_END}
+        THEN t[1:-2]
+    ELSE t END AS t FROM live_de),
+toks_de AS (SELECT doc_id, CASE
+    WHEN len(t)>5 AND t LIKE '%est' THEN t[1:-4]
+    WHEN len(t)>4 AND (t LIKE '%er' OR t LIKE '%en') THEN t[1:-3]
+    WHEN len(t)>4 AND t LIKE '%st' AND t[-3:-3] IN {_ST_END}
+        THEN t[1:-3]
+    ELSE t END AS term FROM st1),
+dl_de AS (SELECT doc_id, count(*) AS dl FROM toks_de GROUP BY doc_id),
+tf_de AS (SELECT doc_id, term, count(*) AS tf FROM toks_de
+          GROUP BY doc_id, term),
+df_de AS (SELECT term, count(*) AS df FROM tf_de GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents)
+"""
+
+
+def _sql_ft_match_de() -> str:
+    chain = _DE_CHAIN.format(stops=_de_stop_list_sql())
+    return f"""
+WITH {chain},
+idfs AS (SELECT term, 1.0 + ln(nn.n/(df+1.0)) AS idf FROM df_de, nn
+         WHERE term IN ('valu','merg')),
+qn AS (SELECT 1.0/sqrt(sum(idf*idf)) AS v FROM idfs),
+s AS (SELECT t.doc_id,
+             sqrt(t.tf) * cast(1.0/sqrt(d.dl) AS real) * i.idf
+               * (i.idf * qn.v) AS sc
+      FROM tf_de t JOIN idfs i ON t.term=i.term
+      JOIN dl_de d ON d.doc_id=t.doc_id, qn)
+SELECT doc_id, {R4("sum(sc) * count(*) / 2")} AS score_r
+FROM s GROUP BY doc_id
+"""
+
+
 def _q_ft_dict_topdf(spark, sf_dir):
     idx = _doc_index(spark, sf_dir)
     return (
@@ -686,6 +782,7 @@ _REGISTRY: dict[str, tuple] = {
     "ft_phrase": (_q_ft_phrase, _SQL_FT_PHRASE),
     "ft_disj_coord": (_q_ft_disj_coord, _SQL_FT_DISJ),
     "ft_prefix": (_q_ft_prefix, _SQL_FT_PREFIX),
+    "ft_match_de": (_q_ft_match_de, _sql_ft_match_de()),
     "ft_dict_topdf": (_q_ft_dict_topdf, _SQL_FT_DICT),
     "ft_fuzzy_dict": (_q_ft_fuzzy_dict, _SQL_FT_FUZZY),
     "ft_wildcard_dict": (_q_ft_wildcard_dict, _SQL_FT_WILDCARD),

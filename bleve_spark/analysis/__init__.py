@@ -248,3 +248,8 @@ register_analyzer(
 
 for _name, _ft in _FAST_TERMFREQ.items():
     _REGISTRY[_name].fast_termfreq = _ft
+
+# top-tier language packs (de/fr/es/it/pt — ref: analysis/lang/*)
+from .lang import register_language_analyzers  # noqa: E402
+
+register_language_analyzers()
