@@ -336,6 +336,55 @@ FROM s GROUP BY doc_id
 """
 
 
+def _events_index(spark, sf_dir) -> SearchIndex:
+    cache_key = sf_dir + ":events"
+    if cache_key in _INDEXES:
+        return _INDEXES[cache_key]
+    from bleve_spark import FieldMapping, IndexMapping
+
+    key = hashlib.md5(cache_key.encode()).hexdigest()[:10]
+    path = f"/tmp/bleve_spark_entry/{key}"
+    mapping = IndexMapping(default_analyzer="keyword", compose_all=False)
+    mapping.add(FieldMapping("event_type", analyzer="keyword"))
+    events = _load(spark, sf_dir, "events")
+    IndexBuilder(spark, mapping, path).build(
+        events,
+        id_expr=F.col("event_id").cast("string"),
+        fingerprint=f"{cache_key}:{events.count()}",
+    )
+    idx = SearchIndex(spark, path, mapping)
+    _INDEXES[cache_key] = idx
+    return idx
+
+
+def _q_ft_date_range(spark, sf_dir):
+    """date_range with endpoints in a non-RFC3339 format resolved by a
+    registered percent-style parser (ref: analysis/datetime/percent)."""
+    from bleve_spark.analysis.datetimes import (
+        PercentParser,
+        register_datetime_parser,
+    )
+
+    register_datetime_parser(
+        "ymd_slash_hm", PercentParser(["%Y/%m/%d %H:%M"])
+    )
+    s = Searcher(_events_index(spark, sf_dir))
+    q = Q.DateRangeQuery(
+        field="ts",
+        start="2024/01/03 00:00",
+        end="2024/01/06 12:30",
+        datetime_parser="ymd_slash_hm",
+    )
+    return _all_hits(s, q, F.col("event_id"))
+
+
+_SQL_FT_DATE_RANGE = """
+SELECT event_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-06 12:30:00'
+"""
+
+
 def _q_ft_dict_topdf(spark, sf_dir):
     idx = _doc_index(spark, sf_dir)
     return (
@@ -783,6 +832,7 @@ _REGISTRY: dict[str, tuple] = {
     "ft_disj_coord": (_q_ft_disj_coord, _SQL_FT_DISJ),
     "ft_prefix": (_q_ft_prefix, _SQL_FT_PREFIX),
     "ft_match_de": (_q_ft_match_de, _sql_ft_match_de()),
+    "ft_date_range": (_q_ft_date_range, _SQL_FT_DATE_RANGE),
     "ft_dict_topdf": (_q_ft_dict_topdf, _SQL_FT_DICT),
     "ft_fuzzy_dict": (_q_ft_fuzzy_dict, _SQL_FT_FUZZY),
     "ft_wildcard_dict": (_q_ft_wildcard_dict, _SQL_FT_WILDCARD),

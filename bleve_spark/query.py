@@ -91,6 +91,9 @@ class DateRangeQuery(Query):  # ref: query/date_range.go:87-94
     end: Optional[str] = None
     inclusive_start: bool = True
     inclusive_end: bool = False
+    # named parser for string endpoints (ref: query/date_range_string.go
+    # DateTimeParser option); None = the default "dateTimeOptional"
+    datetime_parser: Optional[str] = None
 
 
 @dataclass
@@ -260,6 +263,7 @@ def parse_query(d: dict) -> Query:
             boost, fld, start=d.get("start"), end=d.get("end"),
             inclusive_start=bool(d.get("inclusive_start", True)),
             inclusive_end=bool(d.get("inclusive_end", False)),
+            datetime_parser=d.get("datetime_parser"),
         )
     if "bool" in d:
         return BoolFieldQuery(boost, fld, value=bool(d["bool"]))

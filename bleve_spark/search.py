@@ -693,13 +693,35 @@ class Searcher:
                 self.index.docs.where(pred).select("docid"), b
             )
         if isinstance(q, Q.DateRangeQuery):
+            # endpoints resolve driver-side through the named datetime
+            # parser registry (ref: query/date_range_string.go +
+            # analysis/datetime/*); the default is dateTimeOptional
+            from datetime import datetime as _dt, timezone as _tz
+
+            from .analysis.datetimes import datetime_parser_named
+
+            parser = datetime_parser_named(
+                q.datetime_parser or "dateTimeOptional"
+            )
+
+            def _endpoint(v):
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    v = parser.parse(v)
+                if isinstance(v, _dt) and v.tzinfo is not None:
+                    # compare in naive UTC like the stored docvalues
+                    v = v.astimezone(_tz.utc).replace(tzinfo=None)
+                return v
+
             col = F.col(fld).cast("timestamp")
             pred = F.lit(True)
-            if q.start is not None:
-                s = F.lit(q.start).cast("timestamp")
+            start, end = _endpoint(q.start), _endpoint(q.end)
+            if start is not None:
+                s = F.lit(start)
                 pred = pred & (col >= s if q.inclusive_start else col > s)
-            if q.end is not None:
-                e = F.lit(q.end).cast("timestamp")
+            if end is not None:
+                e = F.lit(end)
                 pred = pred & (col <= e if q.inclusive_end else col < e)
             return self._plan_const(
                 self.index.docs.where(pred).select("docid"), b
