@@ -27,10 +27,17 @@ N_LOW = int(os.environ.get("BLEVE_BENCH_LOW", "8"))
 N_HIGH = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CORPUS_N = int(os.environ.get("BLEVE_BENCH_CORPUS", "250000"))
+# one extra single-run build at N_HIGH on a larger corpus — the scale
+# trend datapoint (0 disables)
+CORPUS_N_BIG = int(os.environ.get("BLEVE_BENCH_CORPUS_BIG", "1000000"))
 QUERY_REPS = int(os.environ.get("BLEVE_BENCH_REPS", "5"))
 BUILD_RUNS = int(os.environ.get("BLEVE_BENCH_BUILD_RUNS", "2"))
 
-CORPUS_PARQUET = f"/tmp/bleve_bench_corpus_{CORPUS_N}.parquet"
+def corpus_parquet(n):
+    return f"/tmp/bleve_bench_corpus_{n}.parquet"
+
+
+CORPUS_PARQUET = corpus_parquet(CORPUS_N)
 IDX_BASE = "/tmp/bleve_bench_idx"
 
 
@@ -38,16 +45,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_corpus():
-    if not os.path.exists(CORPUS_PARQUET):
+def make_corpus(n=CORPUS_N):
+    path = corpus_parquet(n)
+    if not os.path.exists(path):
         from bleve_spark.corpus import write_corpus_parquet
 
         t0 = time.time()
-        write_corpus_parquet(CORPUS_PARQUET, CORPUS_N)
-        log(f"corpus synth {CORPUS_N} files in {time.time()-t0:.1f}s")
+        write_corpus_parquet(path, n)
+        log(f"corpus synth {n} files in {time.time()-t0:.1f}s")
 
 
-def build_at_inprocess(master_n: int) -> dict:
+def build_at_inprocess(master_n: int, corpus_n: int = CORPUS_N) -> dict:
     """Fresh session at local[master_n]; build the code-corpus index.
     Run this in a FRESH PROCESS per level — a restarted SparkContext in a
     reused JVM is ~2x slower (stale shuffle dirs/GC), which would corrupt
@@ -58,9 +66,9 @@ def build_at_inprocess(master_n: int) -> dict:
     from bleve_spark.session import get_spark
 
     spark = get_spark(master=f"local[{master_n}]", app_name=f"bench{master_n}")
-    path = f"{IDX_BASE}_{master_n}"
+    path = f"{IDX_BASE}_{master_n}" + ("" if corpus_n == CORPUS_N else f"_{corpus_n}")
     shutil.rmtree(path, ignore_errors=True)
-    corpus = spark.read.parquet(CORPUS_PARQUET).drop("content_sha256")
+    corpus = spark.read.parquet(corpus_parquet(corpus_n)).drop("content_sha256")
     # warmup: spin up ALL Python UDF workers (one per task slot) + JIT
     # before the timed build — on a long-lived cluster workers are warm.
     # The warm job must span >= one partition per core; limit(512) would
@@ -93,7 +101,7 @@ def build_at_inprocess(master_n: int) -> dict:
     return {
         "parallelism": master_n,
         "wall_sec": round(wall, 2),
-        "docs_per_sec": round(CORPUS_N / wall, 1),
+        "docs_per_sec": round(corpus_n / wall, 1),
         "index_path": path,
         "stages": {
             s["stage"]: round(s["wall_ms"] / 1000, 1) for s in rep.stages
@@ -101,7 +109,7 @@ def build_at_inprocess(master_n: int) -> dict:
     }
 
 
-def build_at(master_n: int) -> dict:
+def build_at(master_n: int, corpus_n: int = CORPUS_N) -> dict:
     """Run build_at_inprocess in a clean subprocess and collect its JSON.
 
     The subprocess is CPU-pinned (taskset) to exactly master_n cores:
@@ -115,7 +123,8 @@ def build_at(master_n: int) -> dict:
 
     code = (
         "import json, bench; "
-        f"print('BENCHRESULT ' + json.dumps(bench.build_at_inprocess({master_n})))"
+        "print('BENCHRESULT ' + json.dumps("
+        f"bench.build_at_inprocess({master_n}, {corpus_n})))"
     )
     argv = [sys.executable, "-c", code]
     ncpu = os.cpu_count() or master_n
@@ -262,6 +271,13 @@ def run_queries(spark) -> dict:
             scoring.BM25,
         )
     )
+    # 1-char prefix: DataFrame-native dictionary expansion. "u" matches
+    # every per-doc uniq### token (~CORPUS_N distinct terms) — the
+    # driver never materializes the term list (broadcast/shuffle join
+    # of the dictionary slice into the postings scan)
+    out["q_prefix_1char"] = timed(
+        topk(Q.PrefixQuery(field="content", prefix="u")), reps=3
+    )
 
     # ops over the driver's sf tables
     import __spark_entry__ as entrymod
@@ -307,6 +323,13 @@ def main():
     log("build high:", b_high)
     ratio = N_HIGH / N_LOW
     eff = max(pair_effs)
+    b_big = None
+    if CORPUS_N_BIG and CORPUS_N_BIG != CORPUS_N:
+        # scale-trend datapoint: one build at N_HIGH on the big corpus
+        make_corpus(CORPUS_N_BIG)
+        os.system("sync")
+        b_big = build_at(N_HIGH, CORPUS_N_BIG)
+        log("build big:", b_big)
     try:
         slowdown = measure_core_slowdown(N_HIGH)
     except Exception:
@@ -328,6 +351,7 @@ def main():
         "build": {
             "low": b_low,
             "high": b_high,
+            "big": b_big,
             "scaling_ratio": ratio,
             "scaling_efficiency": round(eff, 3),
             "scaling_efficiency_runs": [round(e, 3) for e in pair_effs],

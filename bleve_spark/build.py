@@ -173,75 +173,74 @@ def _encode_sorted_stream(batches):
         yield df
 
 
+DOCID_BUCKETS_LOG2 = 12  # 4096 fixed hash-range buckets
+
+
 def assign_docids(
     df: DataFrame, id_expr, n_partitions: Optional[int] = None,
-    offset: int = 0,
+    offset: int = 0, buckets_log2: int = DOCID_BUCKETS_LOG2,
 ) -> DataFrame:
-    """Deterministic dense docid = `offset` + global rank over `_id`.
-    `offset` gives incremental segments non-overlapping docid ranges
-    (the analogue of scorch's snapshot offsets,
-    /root/reference/index/scorch/snapshot_index.go:81,475-480).
+    """Deterministic dense docid = `offset` + global rank over
+    (bucket(_id), _id). `offset` gives incremental segments
+    non-overlapping docid ranges (the analogue of scorch's snapshot
+    offsets, /root/reference/index/scorch/snapshot_index.go:81,475-480).
 
-    Two-pass range-partitioned ranking (sample ranges -> sort within
-    partitions -> per-partition counts -> offset + local index). The
-    result depends only on the data, not on parallelism — required for
-    rank-identical output across N and 4N executors (north rule;
-    contrast the reference's segment-local docnums + snapshot offsets,
-    /root/reference/index/scorch/snapshot_index.go:81,475-480).
+    bucket(_id) = top `buckets_log2` bits of xxhash64(_id): FIXED,
+    uniform range bounds over the hash space. Compared with
+    repartitionByRange ranking this removes the sampling pass entirely
+    (one fewer full read of the corpus — the RangePartitioner's
+    reservoir sample touches every row) and makes the docid a pure
+    function of the data: neither cluster size nor partition count nor
+    data skew changes it (hashes are uniform by construction, so the
+    2^buckets_log2 buckets are balanced without sampling). Cost: docids
+    are hash-ordered, not _id-ordered, so stored-field fetch by _id no
+    longer gets row-group pruning from _id ordering.
+
+    Two jobs total: (exchange+sort+persist+per-bucket counts), then
+    (assign+downstream write). Bucket-local ranks come from the sorted
+    order within each bucket, which lives wholly inside one partition
+    (partitioning is a function of the bucket key alone).
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     # 4x parallelism: docs parquet gets enough files that the downstream
     # analysis stage is well-balanced (stragglers dominate at 1 task/core)
     n_partitions = n_partitions or 4 * spark.sparkContext.defaultParallelism
-    # dotted-path columns (flattened nested fields) break mapInPandas
-    # schema resolution; shield them behind temp names and restore after
-    dotted = {c: c.replace(".", "\x01") for c in df.columns if "." in c}
-    if dotted:
-        df = df.withColumnsRenamed(dotted)
-    keyed = df.withColumn("_id", id_expr)
-    sorted_df = keyed.repartitionByRange(n_partitions, "_id").sortWithinPartitions(
-        "_id"
+    keyed = df.withColumn("_id", id_expr).withColumn(
+        "__bucket",
+        F.shiftrightunsigned(F.xxhash64(F.col("_id")), 64 - buckets_log2),
     )
-    # persist BEFORE deriving per-partition counts: the counts job and the
-    # assignment job must observe the *same* materialized partition layout.
-    # Without this, AQE may coalesce the range exchange differently per
-    # job and the offsets would be wrong (duplicate/missing docids).
-    from pyspark import StorageLevel
-
-    sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
-    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = int(offset)
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    out_schema = T.StructType(
-        sorted_df.schema.fields + [T.StructField("docid", T.LongType())]
-    )
-
-    def assign(iterator):
-        seen = 0
-        for pdf in iterator:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            start = offsets[pid] + seen
-            seen += len(pdf)
-            pdf = pdf.drop(columns=["__pid"])
-            pdf["docid"] = np.arange(start, start + len(pdf), dtype=np.int64)
-            yield pdf
-
-    assigned = with_pid.mapInPandas(assign, out_schema)
-    if dotted:
-        assigned = assigned.withColumnsRenamed(
-            {safe: orig for orig, safe in dotted.items()}
+    parted = keyed.repartition(n_partitions, F.col("__bucket"))
+    # bucket-local rank, pure JVM (whole-stage codegen — the corpus
+    # never crosses into Python here): the window's required
+    # distribution matches the repartition, so no extra exchange
+    local = (
+        F.row_number().over(
+            Window.partitionBy("__bucket").orderBy("_id")
         )
-    assigned._bleve_unpersist = sorted_df.unpersist  # release after write
-    return assigned
+        - 1
+    )
+    # per-bucket start offsets = exclusive running sum of bucket counts
+    # in bucket order. 2^buckets_log2 rows — a broadcast-sized side
+    # plan whose exchange Catalyst reuses from the main branch, so the
+    # whole assignment (counts + offsets + join + write) is ONE job.
+    counts = parted.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
+    cum = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bucket",
+        (
+            F.coalesce(F.sum("__cnt").over(cum), F.lit(0))
+            + F.lit(int(offset))
+        ).alias("__off"),
+    )
+    return (
+        parted.join(F.broadcast(offsets), "__bucket")
+        .withColumn("docid", F.col("__off") + local)
+        .drop("__bucket", "__off")
+    )
 
 
 def _parquet_rows(path: str) -> int:
@@ -395,8 +394,6 @@ class IndexBuilder:
                 ),
                 "docs",
             )
-            if hasattr(docs, "_bleve_unpersist"):
-                docs._bleve_unpersist()
             self._mark_stage("docs", fingerprint)
             report.add("docs", _parquet_rows(self._stage_dir("docs")), (time.time() - t0) * 1e3)
 

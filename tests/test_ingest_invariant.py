@@ -33,8 +33,11 @@ def test_docs_stage_preserves_content(spark, corpus_pdf, built_index):
         assert expected[row["_id"]] == row["h"], row["_id"]
 
 
-def test_docid_dense_and_sorted(built_index):
+def test_docid_dense_and_deterministic(built_index):
     rows = built_index.docs.select("docid", "_id").orderBy("docid").collect()
-    ids = [r["_id"] for r in rows]
     assert [r["docid"] for r in rows] == list(range(len(rows)))
-    assert ids == sorted(ids)  # docid order == _id sort order
+    # docid order is (hash-bucket, _id) order — a pure function of the
+    # data (build.assign_docids); cross-partition-count equality is
+    # asserted in test_properties.py
+    ids = [r["_id"] for r in rows]
+    assert len(set(ids)) == len(ids)

@@ -63,6 +63,25 @@ def test_tokenizer_invariants(text):
             prev_pos, prev_end = pos, end
 
 
+def test_docid_assignment_parallelism_independent(spark):
+    """docid must be a pure function of the data — identical across
+    partition counts (the north rule's rank-identity requirement)."""
+    from bleve_spark.build import assign_docids
+    from pyspark.sql import functions as F
+
+    rows = [(f"id{i:04d}", f"text {i}") for i in range(500)]
+    maps = []
+    for parts in (2, 7, 32):
+        df = spark.createDataFrame(rows, ["_id", "body"]).repartition(parts)
+        got = assign_docids(df, F.col("_id"), n_partitions=parts)
+        maps.append(
+            {r["_id"]: r["docid"] for r in got.select("_id", "docid").collect()}
+        )
+    assert maps[0] == maps[1] == maps[2]
+    # dense: 0..n-1
+    assert sorted(maps[0].values()) == list(range(500))
+
+
 @settings(max_examples=150, deadline=None)
 @given(texts)
 def test_analyzer_termfreq_consistency(text):
