@@ -29,7 +29,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -37,6 +38,61 @@ from .build import BuildReport, IndexBuilder
 from .mapping import IndexMapping
 
 SEG_PREFIX = "seg-"
+
+
+@dataclass
+class MergePlanOptions:
+    """ref: index/scorch/mergeplan/merge_plan.go:67-135
+    (DefaultMergePlanOptions: MaxSegmentsPerTier 10, MaxSegmentSize 5M
+    docs, TierGrowth 10x, FloorSegmentSize 2k,
+    ReclaimDeletesWeight 2.0)."""
+
+    max_segments_per_tier: int = 10
+    max_segment_size: int = 5_000_000
+    tier_growth: float = 10.0
+    segments_per_merge_task: int = 10
+    floor_segment_size: int = 2_000
+    reclaim_deletes_weight: float = 2.0
+
+
+def plan_merges(
+    seg_sizes: Dict[int, int],
+    opts: MergePlanOptions = MergePlanOptions(),
+    dead_counts: Optional[Dict[int, int]] = None,
+) -> List[List[int]]:
+    """Pure tier planner: which segment seqs to merge together.
+
+    Tier k covers live sizes [floor*growth^k, floor*growth^(k+1));
+    sizes below the floor all share tier 0 (ref merge_plan.go
+    ScoreSegments' floored size). A tier with more than
+    max_segments_per_tier members yields a merge task of its smallest
+    segments_per_merge_task members. Segments at or above
+    max_segment_size never merge again. Delete-heavy segments count at
+    their live size, so reclaiming deletes happens by construction
+    (a mostly-dead big segment lands in a small tier and merges).
+    """
+    import math
+
+    dead_counts = dead_counts or {}
+    tiers: Dict[int, List[int]] = {}
+    for seq, total in seg_sizes.items():
+        live = max(total - dead_counts.get(seq, 0), 0)
+        if live >= opts.max_segment_size:
+            continue
+        floored = max(live, opts.floor_segment_size)
+        tier = int(
+            math.log(floored / opts.floor_segment_size, opts.tier_growth)
+        )
+        tiers.setdefault(tier, []).append(seq)
+    plans: List[List[int]] = []
+    for tier, members in sorted(tiers.items()):
+        if len(members) > opts.max_segments_per_tier:
+            members = sorted(
+                members,
+                key=lambda s: seg_sizes[s] - dead_counts.get(s, 0),
+            )
+            plans.append(members[: opts.segments_per_merge_task])
+    return plans
 
 
 def segment_dirs(index_path: str) -> List[str]:
@@ -78,7 +134,8 @@ class IndexWriter:
 
     def _next_seq_and_offset(self):
         metas = segment_metas(self.index_path)
-        seq = len(metas)
+        # max+1, not len(): tiered merges retire mid-sequence segments
+        seq = max((m["seq"] for m in metas), default=-1) + 1
         offset = max((m["docid_end"] for m in metas), default=0)
         return seq, offset
 
@@ -133,6 +190,82 @@ class IndexWriter:
                 [(str(i),) for i in ids], ["_id"]
             )
         self._write_tombstones(ids_df, seq)
+
+    def maybe_merge(
+        self,
+        opts: MergePlanOptions = MergePlanOptions(),
+        searcher_index=None,
+    ) -> List[List[int]]:
+        """Tiered compaction (ref: index/scorch/merge.go +
+        mergeplan/merge_plan.go): merge each over-full tier's smallest
+        segments into one new segment, leaving big segments untouched —
+        incremental writers no longer pay a full rebuild per compaction
+        (contrast compact()). Returns the executed merge plans (lists
+        of retired seqs)."""
+        from .index import SearchIndex
+
+        idx = searcher_index or SearchIndex(
+            self.spark, self.index_path, self.mapping
+        )
+        metas = {m["seq"]: m for m in segment_metas(self.index_path)}
+        seg_sizes = {
+            s: m["docid_end"] - m["docid_start"] for s, m in metas.items()
+        }
+        dead_counts: Dict[int, int] = {}
+        if idx.deleted_docids is not None:
+            seq_col = idx._doc_seq_col()
+            dead_counts = {
+                int(r["__seq"]): int(r["cnt"])
+                for r in idx.deleted_docids.join(
+                    idx._table("docs").select("docid"), "docid"
+                )
+                .select(seq_col.alias("__seq"))
+                .groupBy("__seq")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+        plans = plan_merges(seg_sizes, opts, dead_counts)
+        for seqs in plans:
+            self._merge_segments(seqs, metas, idx)
+            # re-open: the next plan sees the post-merge segment set
+            idx = SearchIndex(self.spark, self.index_path, self.mapping)
+        return plans
+
+    def _merge_segments(self, seqs: List[int], metas: dict, idx) -> None:
+        """Rebuild the LIVE docs of `seqs` into one fresh segment at a
+        new seq + docid range, then retire the old segment dirs (on
+        Iceberg: one atomic rewrite-data-files commit)."""
+        new_seq, offset = self._next_seq_and_offset()
+        ranges = [
+            (metas[s]["docid_start"], metas[s]["docid_end"]) for s in seqs
+        ]
+        in_range = None
+        for lo, hi in ranges:
+            c = (F.col("docid") >= lo) & (F.col("docid") < hi)
+            in_range = c if in_range is None else (in_range | c)
+        live = idx.docs.where(in_range).drop("docid")
+        seg_dir = os.path.join(
+            self.index_path, "segments", f"{SEG_PREFIX}{new_seq:05d}"
+        )
+        builder = IndexBuilder(self.spark, self.mapping, seg_dir)
+        builder.build(
+            live, id_expr=F.col("_id"), resume=False, docid_offset=offset
+        )
+        n = int(
+            self.spark.read.parquet(os.path.join(seg_dir, "stats"))
+            .collect()[0]["doc_count"]
+        )
+        with open(os.path.join(seg_dir, "_SEGMENT.json"), "w") as f:
+            json.dump(
+                {
+                    "seq": new_seq,
+                    "docid_start": offset,
+                    "docid_end": offset + n,
+                },
+                f,
+            )
+        for s in seqs:
+            shutil.rmtree(metas[s]["dir"], ignore_errors=True)
 
     def compact(self, searcher_index=None) -> BuildReport:
         """Merge all segments minus tombstones into one fresh segment —

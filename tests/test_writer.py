@@ -152,3 +152,93 @@ def test_snapshot_time_travel(spark):
         )
     )
     assert res2.total == 0  # b does not exist yet at seq 0
+
+
+def test_plan_merges_tier_shapes():
+    """Pure planner (ref mergeplan/merge_plan.go:67-135): over-full
+    tiers merge their smallest members; big segments stay."""
+    from bleve_spark.writer import MergePlanOptions, plan_merges
+
+    opts = MergePlanOptions(
+        max_segments_per_tier=3,
+        segments_per_merge_task=3,
+        floor_segment_size=10,
+        tier_growth=10.0,
+        max_segment_size=10_000,
+    )
+    # four tier-0 segments (over the 3 cap) + one tier-1 + one huge
+    sizes = {0: 12, 1: 11, 2: 13, 3: 14, 4: 500, 5: 20_000}
+    plans = plan_merges(sizes, opts)
+    assert plans == [[1, 0, 2]]  # three smallest of tier 0, by live size
+    # delete reclamation: a big segment with most docs dead falls into
+    # the small tier and becomes mergeable
+    plans2 = plan_merges(sizes, opts, dead_counts={4: 490})
+    assert sorted(plans2[0]) == [0, 1, 4]
+    # under-full tiers: no merges
+    assert plan_merges({0: 12, 1: 11}, opts) == []
+
+
+def test_tiered_merge_leaves_big_segment(spark):
+    """maybe_merge() merges only the over-full small tier; the big
+    segment's directory is untouched and results are unchanged."""
+    import os
+
+    from bleve_spark.writer import MergePlanOptions, segment_metas
+
+    path = "/tmp/bleve_spark_tiered_test_index"
+    shutil.rmtree(path, ignore_errors=True)
+    w = IndexWriter(spark, _mapping(), path)
+    # big segment: 60 docs
+    w.batch_index(
+        spark.createDataFrame(
+            [(f"big{i}", f"common word{i % 7} text") for i in range(60)],
+            ["id", "body"],
+        ),
+        id_expr=F.col("id"),
+    )
+    # four small segments: 3 docs each
+    for k in range(4):
+        w.batch_index(
+            spark.createDataFrame(
+                [(f"s{k}_{i}", f"small doc{k} common") for i in range(3)],
+                ["id", "body"],
+            ),
+            id_expr=F.col("id"),
+        )
+    before = {m["seq"]: m for m in segment_metas(path)}
+    assert len(before) == 5
+    big_dir = before[0]["dir"]
+    big_mtime = os.path.getmtime(os.path.join(big_dir, "_SEGMENT.json"))
+
+    def ids():
+        idx = SearchIndex(spark, path, _mapping())
+        res = Searcher(idx).search(
+            SearchRequest(query=parse_query({"term": "common"}), size=100)
+        )
+        return sorted(r["_id"] for r in res.hits.collect())
+
+    ids_before = ids()
+    opts = MergePlanOptions(
+        max_segments_per_tier=3,
+        segments_per_merge_task=3,
+        floor_segment_size=2,
+        tier_growth=10.0,
+    )
+    plans = w.maybe_merge(opts)
+    # the four 3-doc segments share a tier (floored 3 -> tier 0); the
+    # 60-doc segment is tier 1 and stays
+    assert len(plans) == 1 and len(plans[0]) == 3
+    after = {m["seq"]: m for m in segment_metas(path)}
+    assert 0 in after  # big segment retained...
+    assert os.path.getmtime(os.path.join(big_dir, "_SEGMENT.json")) == big_mtime
+    assert len(after) == 3  # big + 1 small survivor + merged
+    merged_seq = max(after)
+    assert after[merged_seq]["docid_end"] - after[merged_seq]["docid_start"] == 9
+    assert ids() == ids_before
+    # next batch picks a fresh seq past the merged one
+    w.batch_index(
+        spark.createDataFrame([("zz", "common")], ["id", "body"]),
+        id_expr=F.col("id"),
+    )
+    assert max(m["seq"] for m in segment_metas(path)) == merged_seq + 1
+    assert "zz" in ids()
