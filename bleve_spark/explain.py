@@ -71,6 +71,41 @@ def term_explanation(
     )
 
 
+def bm25_term_explanation(
+    field: str,
+    term: str,
+    doc_id: str,
+    tf: int,
+    length: int,
+    idf: float,
+    df: int,
+    n_docs: int,
+    boost: float,
+    avg_len: float,
+) -> Dict:
+    """BM25(k1=1.2, b=0.75) term explanation — Lucene-BM25-shaped
+    (the reference snapshot has no BM25; this mirrors the shape later
+    bleve versions emit for SimilarityModel=bm25)."""
+    from . import scoring
+
+    k1, b = scoring.BM25_K1, scoring.BM25_B
+    tf_norm = (
+        tf * (k1 + 1.0)
+        / (tf + k1 * (1.0 - b + b * length / max(avg_len, 1e-9)))
+    )
+    idf_expl = node(idf, f"idf(docFreq={df}, docCount={n_docs})")
+    tf_expl = node(
+        tf_norm,
+        f"tfNorm(freq={tf}, k1={k1}, b={b}, fieldLength={length}, "
+        f"avgFieldLength={avg_len:g})",
+    )
+    return node(
+        boost * idf * tf_norm,
+        f"score({field}:{term} in {doc_id}), product of:",
+        [node(boost, "boost"), idf_expl, tf_expl],
+    )
+
+
 def sum_explanation(doc_id: str, children: List[Dict]) -> Dict:
     """Conjunction: sum of child scores
     (ref: scorer_conjunction.go:44-71)."""

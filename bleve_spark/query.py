@@ -122,6 +122,18 @@ class IPRangeQuery(Query):  # ref: query/ip_range.go:28-33
 
 
 @dataclass
+class FilterQuery(Query):
+    """Wrap any query with a post-filter predicate over the stored doc
+    columns — the FilteringSearcher analogue (ref: searcher/
+    search_filter.go:36-50 FilterFunc/NewFilteringSearcher). The
+    predicate is a Spark SQL expression string (the declarative
+    equivalent of the reference's accept callback)."""
+
+    child: Optional["Query"] = None
+    predicate: str = "true"
+
+
+@dataclass
 class GeoDistanceQuery(Query):  # ref: query/geo_distance.go
     location: object = None  # [lon,lat] | {"lon","lat"} | "lat, lon" | geohash
     distance: str = "1km"
@@ -229,6 +241,13 @@ def parse_query(d: dict) -> Query:
     if "disjuncts" in d:
         return DisjunctionQuery(
             boost, fld, disjuncts=sub(d["disjuncts"]), min=int(d.get("min", 0))
+        )
+    if "filter" in d and "query" in d:
+        return FilterQuery(
+            boost,
+            fld,
+            child=parse_query(d["query"]),
+            predicate=str(d["filter"]),
         )
     if "ids" in d:
         return DocIDQuery(boost, fld, ids=d["ids"])

@@ -107,6 +107,37 @@ class SearchResult:
     total: Optional[int] = None  # ref: search/search.go:146-176 Total
 
 
+def _phrase_path_exists(pos_by_slot, deltas, nslots, slop) -> bool:
+    """Position-chain check shared by the phrase scorer UDF and
+    explain(). ref findPhrasePaths (search_phrase.go:381-440): exact
+    chains intersect shifted position sets; sloppy chains DFS with
+    |prevPos+1 - pos| charged to the budget, out-of-order allowed,
+    no location reuse."""
+    if len(pos_by_slot) < nslots:
+        return False
+    if slop == 0:
+        cur = set(pos_by_slot[0])
+        for i, d in enumerate(deltas, 1):
+            cur = {p + d for p in cur} & pos_by_slot[i]
+            if not cur:
+                return False
+        return True
+
+    def dfs(slot_i, prev_pos, budget, used):
+        if slot_i == nslots:
+            return True
+        want = prev_pos + deltas[slot_i - 1]
+        for p in pos_by_slot[slot_i]:
+            if p in used:
+                continue
+            dev = abs(p - want)
+            if dev <= budget and dfs(slot_i + 1, p, budget - dev, used | {p}):
+                return True
+        return False
+
+    return any(dfs(1, p0, slop, frozenset((p0,))) for p0 in pos_by_slot[0])
+
+
 class _Plan:
     """A planned sub-searcher: carries the leaf-weight sum (for queryNorm)
     and a builder closure df(query_norm) -> DataFrame(docid, score)."""
@@ -549,44 +580,9 @@ class Searcher:
                         slot_sum[sl] = slot_sum.get(sl, 0.0) + r["s"]
                         slot_cnt[sl] = slot_cnt.get(sl, 0) + 1
                         slot_nalts[sl] = r["nalts"]
-                    if len(pos_by_slot) < nslots:
-                        return None
-                    # iterative chain intersection (exact) / DFS (slop)
-                    if slop == 0:
-                        cur = set(pos_by_slot[0])
-                        ok = True
-                        for i, d in enumerate(deltas, 1):
-                            cur = {p + d for p in cur} & pos_by_slot[i]
-                            if not cur:
-                                ok = False
-                                break
-                    else:
-                        # ref findPhrasePaths (search_phrase.go:381-440):
-                        # dist = |prevPos+1 - pos| charged to the slop
-                        # budget — out-of-order positions ARE allowed;
-                        # a location already used in the path cannot be
-                        # reused (the term+loc check at :429-433; one
-                        # position holds one token, so positions stand
-                        # in for term+loc)
-                        def dfs(slot_i, prev_pos, budget, used):
-                            if slot_i == nslots:
-                                return True
-                            want = prev_pos + deltas[slot_i - 1]
-                            for p in pos_by_slot[slot_i]:
-                                if p in used:
-                                    continue
-                                dev = abs(p - want)
-                                if dev <= budget and dfs(
-                                    slot_i + 1, p, budget - dev, used | {p}
-                                ):
-                                    return True
-                            return False
-
-                        ok = any(
-                            dfs(1, p0, slop, frozenset((p0,)))
-                            for p0 in pos_by_slot[0]
-                        )
-                    if not ok:
+                    if not _phrase_path_exists(
+                        pos_by_slot, deltas, nslots, slop
+                    ):
                         return None
                     # conjunction of per-slot scores; a multi-alternative
                     # slot scores like a disjunction (sum x matched/total
@@ -740,26 +736,66 @@ class Searcher:
                 ),
                 b,
             )
+        if isinstance(q, Q.FilterQuery):
+            # FilteringSearcher analogue (ref: searcher/search_filter.go)
+            # — the declarative form: semi-join the child's hits with
+            # the predicate-filtered doc set
+            child = self.plan(q.child)
+
+            def build_filtered(qn, _child=child, _pred=q.predicate):
+                keep = self.index.docs.where(F.expr(_pred)).select("docid")
+                return _child.df(qn).join(keep, "docid", "left_semi")
+
+            return _Plan(child.weight, build_filtered, child.n_leaves)
         if isinstance(q, Q.IPRangeQuery):
-            # CIDR containment as a native range predicate over the
-            # packed-int form of the stored dotted-quad (the columnar
-            # replacement for the reference's 16-byte IP terms,
-            # query/ip_range.go + searcher/search_ip_range.go). IPv4;
-            # a bare address means /32 like the reference.
+            # CIDR containment over the 16-byte packed form of the
+            # stored address — the columnar replacement for the
+            # reference's 16-byte IP terms (query/ip_range.go +
+            # searcher/search_ip_range.go). IPv4 is handled natively
+            # (dotted-quad -> int range predicate, whole-stage codegen);
+            # IPv6 packs via an Arrow-batched UDF and compares as
+            # binary (unsigned lexicographic), v4-mapped like the
+            # reference. A bare address means /32 (v4) or /128 (v6).
             import ipaddress
 
-            cidr = q.cidr if "/" in q.cidr else q.cidr + "/32"
+            is_v6 = ":" in q.cidr
+            cidr = (
+                q.cidr
+                if "/" in q.cidr
+                else q.cidr + ("/128" if is_v6 else "/32")
+            )
             net = ipaddress.ip_network(cidr, strict=False)
-            parts = F.split(F.col(fld), "\\.")
-            packed = (
-                parts.getItem(0).cast("long") * 16777216
-                + parts.getItem(1).cast("long") * 65536
-                + parts.getItem(2).cast("long") * 256
-                + parts.getItem(3).cast("long")
-            )
-            pred = (packed >= int(net.network_address)) & (
-                packed <= int(net.broadcast_address)
-            )
+            if not is_v6:
+                parts = F.split(F.col(fld), "\\.")
+                packed = (
+                    parts.getItem(0).cast("long") * 16777216
+                    + parts.getItem(1).cast("long") * 65536
+                    + parts.getItem(2).cast("long") * 256
+                    + parts.getItem(3).cast("long")
+                )
+                pred = (packed >= int(net.network_address)) & (
+                    packed <= int(net.broadcast_address)
+                )
+            else:
+                @F.pandas_udf(T.BinaryType())
+                def pack16(vals: pd.Series) -> pd.Series:
+                    def pk(v):
+                        try:
+                            a = ipaddress.ip_address(v)
+                        except (ValueError, TypeError):
+                            return None
+                        if a.version == 4:
+                            a = ipaddress.IPv6Address(
+                                "::ffff:" + str(a)
+                            )
+                        return a.packed
+
+                    return vals.map(pk)
+
+                lo = net.network_address.packed
+                hi = net.broadcast_address.packed
+                col16 = pack16(F.col(fld))
+                pred = (col16 >= F.lit(lo)) & (col16 <= F.lit(hi))
             return self._plan_const(
                 self.index.docs.where(pred).select("docid"), b
             )
@@ -1217,15 +1253,27 @@ class Searcher:
         )
         return page, ["locations"]
 
+    def _term_expl(self, E, fld, t, doc_id, tf, length, idf, df, n, b, qn):
+        if self.similarity == scoring.TFIDF:
+            return E.term_explanation(
+                fld, t, str(doc_id), tf, length, idf, df, n, b, qn
+            )
+        return E.bm25_term_explanation(
+            fld, t, str(doc_id), tf, length, idf, df, n, b,
+            self.index.avg_len(fld),
+        )
+
     def explain(self, q: Q.Query, doc_id: str) -> Optional[dict]:
-        """Per-hit score explanation tree for term-leaf queries in TF-IDF
-        mode (ref: SearchRequest.Explain -> DocumentMatch.Expl,
-        scorer_term.go:117-170). Driver-side: one tiny posting fetch for
-        one doc, like the reference's per-DocumentMatch computation."""
+        """Per-hit score explanation tree (ref: SearchRequest.Explain ->
+        DocumentMatch.Expl, scorer_term.go:117-170). Covers term-leaf
+        queries (term / match / conjunction / disjunction of terms) in
+        TF-IDF and BM25 modes, and (match_)phrase / multi_phrase
+        queries. Driver-side: one tiny posting fetch for one doc, like
+        the reference's per-DocumentMatch computation."""
         from . import explain as E
 
-        if self.similarity != scoring.TFIDF:
-            raise NotImplementedError("explain supports tfidf mode")
+        if isinstance(q, (Q.MatchPhraseQuery, Q.PhraseQuery)):
+            return self._explain_phrase(q, doc_id)
         cand = self._wand_candidate(q)
         if cand is None:
             raise NotImplementedError(
@@ -1254,7 +1302,11 @@ class Searcher:
             for t, b in present
         )
         qn = None
-        if apply_qn and weight > 0:
+        if (
+            apply_qn
+            and self.similarity == scoring.TFIDF
+            and weight > 0
+        ):
             qn = 1.0 / math.sqrt(weight)
         rows = (
             self.index.decoded(fld, [t for t, _ in present])
@@ -1269,8 +1321,8 @@ class Searcher:
                 continue
             tf, length = by_term[t]
             children.append(
-                E.term_explanation(
-                    fld, t, str(doc_id), tf, length, term_idf[t],
+                self._term_expl(
+                    E, fld, t, doc_id, tf, length, term_idf[t],
                     stats[t][0], n, b, qn,
                 )
             )
@@ -1280,9 +1332,109 @@ class Searcher:
             return children[0]
         if conjunctive:
             return E.sum_explanation(str(doc_id), children)
+        if self.similarity != scoring.TFIDF:
+            return E.sum_explanation(str(doc_id), children)  # bm25: no coord
         return E.coord_explanation(
             str(doc_id), children, len(children), len(term_boosts)
         )
+
+    def _explain_phrase(self, q, doc_id: str) -> Optional[dict]:
+        """Phrase explanation: the conjunction-of-slots score tree,
+        emitted only when a position path exists (shares
+        _phrase_path_exists with the scorer, so explain == score)."""
+        from . import explain as E
+
+        fld = q.field or self.default_field()
+        b = q.boost
+        if isinstance(q, Q.MatchPhraseQuery):
+            analyzer = get_analyzer(self._analyzer_for(fld, q.analyzer))
+            tokens = analyzer.analyze(q.text)
+            slots = [((t[0],), t[1]) for t in tokens]
+        else:
+            slots = [
+                (
+                    tuple(t) if isinstance(t, (list, tuple)) else (t,),
+                    i + 1,
+                )
+                for i, t in enumerate(q.terms)
+            ]
+        if not slots:
+            return None
+        slots = [(tuple(dict.fromkeys(a)), p) for a, p in slots]
+        all_terms = list(dict.fromkeys(t for a, _ in slots for t in a))
+        stats = self.index.term_stats(fld, all_terms)
+        if any(not any(t in stats for t in a) for a, _ in slots):
+            return None
+        present = [t for t in all_terms if t in stats]
+        n = self.index.doc_count
+        term_idf = {
+            t: scoring.idf(self.similarity, n, stats[t][0]) for t in present
+        }
+        weight = sum(
+            scoring.term_weight(self.similarity, b, i)
+            for i in term_idf.values()
+        )
+        qn = None
+        if self.similarity == scoring.TFIDF and weight > 0:
+            qn = 1.0 / math.sqrt(weight)
+        doc = (
+            self.index.docs.where(F.col("_id") == str(doc_id))
+            .select("docid")
+            .collect()
+        )
+        if not doc:
+            return None
+        docid = doc[0]["docid"]
+        rows = (
+            self.index.decoded(fld, present, need_positions=True)
+            .where(F.col("docid") == docid)
+            .select("term", "tf", "length", "positions")
+            .collect()
+        )
+        by_term = {
+            r["term"]: (int(r["tf"]), int(r["length"]), list(r["positions"]))
+            for r in rows
+        }
+        deltas = [slots[i][1] - slots[i - 1][1] for i in range(1, len(slots))]
+        pos_by_slot = {}
+        for i, (alts, _p) in enumerate(slots):
+            s = set()
+            for t in alts:
+                if t in by_term:
+                    s.update(by_term[t][2])
+            if not s:
+                return None
+            pos_by_slot[i] = s
+        if not _phrase_path_exists(
+            pos_by_slot, deltas, len(slots), q.slop
+        ):
+            return None
+        slot_children = []
+        for alts, _p in slots:
+            alt_children = [
+                self._term_expl(
+                    E, fld, t, doc_id, by_term[t][0], by_term[t][1],
+                    term_idf[t], stats[t][0], n, b, qn,
+                )
+                for t in alts
+                if t in by_term
+            ]
+            if len(alts) == 1:
+                slot_children.append(alt_children[0])
+            elif self.similarity == scoring.TFIDF:
+                slot_children.append(
+                    E.coord_explanation(
+                        str(doc_id), alt_children,
+                        len(alt_children), len(alts),
+                    )
+                )
+            else:
+                slot_children.append(
+                    E.sum_explanation(str(doc_id), alt_children)
+                )
+        if len(slot_children) == 1:
+            return slot_children[0]
+        return E.sum_explanation(str(doc_id), slot_children)
 
     def search(self, req: SearchRequest) -> SearchResult:
         if req.similarity != self.similarity:

@@ -69,3 +69,47 @@ def test_explain_nonmatching_doc_returns_none(built_index):
         s.explain(Q.TermQuery(field="content", term="zz_nonexistent"), some_id)
         is None
     )
+
+
+def test_bm25_term_explanation_matches_score(built_index):
+    from bleve_spark import scoring
+
+    q = Q.TermQuery(field="content", term="return")
+    s = Searcher(built_index, scoring.BM25)
+    hit = s.search(
+        SearchRequest(query=q, size=1, similarity=scoring.BM25)
+    ).hits.collect()[0]
+    expl = s.explain(q, hit["_id"])
+    assert expl["value"] == pytest.approx(hit["score"], rel=1e-12)
+    msgs = [c["message"] for c in expl["children"]]
+    assert msgs[0] == "boost"
+    assert msgs[1].startswith("idf(docFreq=")
+    assert msgs[2].startswith("tfNorm(freq=")
+
+
+def test_bm25_match_explanation_matches_score(built_index):
+    from bleve_spark import scoring
+
+    q = Q.MatchQuery(field="content", text="return value")
+    s = Searcher(built_index, scoring.BM25)
+    hits = s.search(
+        SearchRequest(query=q, size=3, similarity=scoring.BM25)
+    ).hits.collect()
+    for hit in hits:
+        expl = s.explain(q, hit["_id"])
+        assert expl["value"] == pytest.approx(hit["score"], rel=1e-12)
+
+
+def test_phrase_explanation_matches_score(built_index):
+    q = Q.MatchPhraseQuery(field="content", text="apache license")
+    s = Searcher(built_index)
+    hits = s.search(SearchRequest(query=q, size=3)).hits.collect()
+    assert hits, "phrase fixture must match"
+    for hit in hits:
+        expl = s.explain(q, hit["_id"])
+        assert expl is not None
+        assert expl["value"] == pytest.approx(hit["score"], rel=1e-12)
+    # a phrase with no position path explains to None even when the
+    # terms are present (order matters)
+    q_rev = Q.MatchPhraseQuery(field="content", text="version apache")
+    assert s.explain(q_rev, hits[0]["_id"]) is None

@@ -235,6 +235,71 @@ def test_too_many_clauses_guard(fixture_index):
     assert len(rows(res.hits)) == 2
 
 
+def test_filter_query(fixture_index):
+    """FilteringSearcher analogue (ref: searcher/search_filter.go):
+    wrap any query with a predicate over stored fields."""
+    s = Searcher(fixture_index)
+    q = Q.FilterQuery(
+        child=Q.TermQuery(field="body", term="fox"),
+        predicate="_id != 'b'",
+    )
+    got = rows(s.search(SearchRequest(query=q)).hits)
+    assert {g[0] for g in got} == {"a", "e"}
+    # scores unchanged by the filter (reference passes child scores)
+    unfiltered = dict(
+        rows(
+            s.search(
+                SearchRequest(query=Q.TermQuery(field="body", term="fox"))
+            ).hits
+        )
+    )
+    for _id, score in got:
+        assert score == pytest.approx(unfiltered[_id], rel=1e-12)
+    # wire format
+    from bleve_spark import parse_query
+
+    q2 = parse_query(
+        {"query": {"term": "fox", "field": "body"}, "filter": "_id = 'a'"}
+    )
+    got2 = rows(s.search(SearchRequest(query=q2)).hits)
+    assert [g[0] for g in got2] == ["a"]
+
+
+def test_ipv6_range_query(spark):
+    """IPv6 (and v4-mapped) CIDR containment via 16-byte binary compare
+    (ref stores 16-byte IP terms, query/ip_range.go)."""
+    import shutil as sh
+
+    from bleve_spark import IndexBuilder, IndexMapping, FieldMapping, SearchIndex
+
+    path = "/tmp/bleve_spark_ipv6_test_index"
+    sh.rmtree(path, ignore_errors=True)
+    m = IndexMapping(default_analyzer="keyword", compose_all=False)
+    m.add(FieldMapping("name", analyzer="keyword"))
+    corpus = spark.createDataFrame(
+        [
+            ("a", "2001:db8::1"),
+            ("b", "2001:db8::ffff"),
+            ("c", "2001:db9::1"),
+            ("d", "10.0.0.7"),
+        ],
+        ["name", "addr"],
+    )
+    IndexBuilder(spark, m, path).build(corpus, id_expr=F.col("name"))
+    s = Searcher(SearchIndex(spark, path, m))
+
+    def ids(cidr):
+        res = s.search(
+            SearchRequest(query=Q.IPRangeQuery(field="addr", cidr=cidr))
+        )
+        return sorted(r[0] for r in rows(res.hits))
+
+    assert ids("2001:db8::/32") == ["a", "b"]
+    assert ids("2001:db8::1") == ["a"]  # bare v6 address = /128
+    # v4 addresses live in the v4-mapped range ::ffff:0:0/96
+    assert ids("::ffff:10.0.0.0/104") == ["d"]
+
+
 def test_slop_phrase_out_of_order(fixture_index):
     """findPhrasePaths allows reversed-order positions within the slop
     budget (ref: search_phrase.go:420-427 — dist=|prevPos+1 - pos| is
