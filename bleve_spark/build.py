@@ -243,6 +243,31 @@ def assign_docids(
     )
 
 
+_BBOX_TYPE = T.StructType(
+    [
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_BBOX_TYPE)
+def _shape_bbox_udf(vals: pd.Series) -> pd.DataFrame:
+    from . import geoshape as GS
+
+    rows = []
+    for v in vals:
+        s = GS.shape_from_value(v)
+        if s is None:
+            rows.append((None, None, None, None))
+        else:
+            x1, y1, x2, y2 = s.bbox()
+            rows.append((x1, y1, x2, y2))
+    return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers — no Spark job."""
     import pyarrow.parquet as pq
@@ -388,12 +413,23 @@ class IndexBuilder:
             )
             # backtick-quote: dotted-path field names (flattened nested
             # fields, e.g. manages.reports) are plain column names here
-            self._write(
-                docs.select(
-                    "docid", "_id", *[F.col(f"`{c}`") for c in stored]
-                ),
-                "docs",
+            sel = docs.select(
+                "docid", "_id", *[F.col(f"`{c}`") for c in stored]
             )
+            # geoshape fields get a bbox struct column — the native
+            # prefilter the query side prunes with (the s2
+            # covering-token analogue; see geoshape.py)
+            for fm in self.mapping.fields.values():
+                if fm.type == "geoshape" and fm.name in sel.columns:
+                    src_col = F.col(fm.name)
+                    if isinstance(
+                        sel.schema[fm.name].dataType, T.StructType
+                    ):
+                        src_col = F.to_json(src_col)
+                    sel = sel.withColumn(
+                        f"{fm.name}__bbox", _shape_bbox_udf(src_col)
+                    )
+            self._write(sel, "docs")
             self._mark_stage("docs", fingerprint)
             report.add("docs", _parquet_rows(self._stage_dir("docs")), (time.time() - t0) * 1e3)
 

@@ -1,0 +1,366 @@
+"""Geoshape queries: GeoJSON-style shapes + spatial relations.
+
+Re-creates the reference's geoshape support (document/field_geoshape.go,
+search/searcher/search_geoshape.go, geo/geo_s2plugin_impl.go) without
+the s2 cell-token index: shapes are stored columns; a query applies a
+native bounding-box prefilter (whole-stage codegen over bbox struct
+columns when present) and an exact relation check in an Arrow-batched
+UDF on the survivors. At 100 TB the bbox prefilter plays the role of
+the s2 covering-token index scan: it prunes the candidate set before
+any per-row geometry runs.
+
+Geometry model: lon/lat treated as a plane. Point/line/polygon
+relations are exact under this model (axis scaling preserves incidence
+and sidedness); circles — the only metric shapes — are polygonized with
+per-axis meter scaling at the center latitude (180-gon, radial error
+~1.5e-4 * r), matching s2's geodesic circles to well under test
+tolerances at city scale.
+
+Supported types (as the reference suite uses): point, multipoint,
+linestring, multilinestring, polygon (with holes), multipolygon,
+envelope, circle, geometrycollection. Relations: intersects, contains
+(doc shape contains query shape), within (doc shape within query
+shape).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+Point = Tuple[float, float]  # (lon, lat)
+
+_M_PER_DEG_LAT = 110574.0
+
+
+def _m_per_deg_lon(lat: float) -> float:
+    return 111320.0 * math.cos(math.radians(lat))
+
+
+@dataclass
+class Shape:
+    """Normalized shape: a bag of points / polylines / polygons.
+    polygons: list of rings-lists (each polygon = [outer, hole, ...]).
+    """
+
+    points: List[Point]
+    lines: List[List[Point]]
+    polygons: List[List[List[Point]]]
+
+    def bbox(self) -> Tuple[float, float, float, float]:
+        xs, ys = [], []
+        for x, y in self.points:
+            xs.append(x)
+            ys.append(y)
+        for line in self.lines:
+            for x, y in line:
+                xs.append(x)
+                ys.append(y)
+        for rings in self.polygons:
+            for x, y in rings[0]:
+                xs.append(x)
+                ys.append(y)
+        if not xs:
+            return (0.0, 0.0, 0.0, 0.0)
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    def merge(self, other: "Shape") -> "Shape":
+        return Shape(
+            self.points + other.points,
+            self.lines + other.lines,
+            self.polygons + other.polygons,
+        )
+
+
+def _circle_polygon(center: Point, radius_m: float, n: int = 180):
+    lon, lat = center
+    mlon = max(_m_per_deg_lon(lat), 1e-9)
+    mlat = _M_PER_DEG_LAT
+    ring = [
+        (
+            lon + radius_m * math.cos(t) / mlon,
+            lat + radius_m * math.sin(t) / mlat,
+        )
+        for t in (2 * math.pi * i / n for i in range(n))
+    ]
+    ring.append(ring[0])
+    return [ring]
+
+
+def parse_distance(s) -> float:
+    """'150m' / '0.1km' / number-of-meters (ref: geo/geo_dist.go)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = str(s).strip().lower()
+    units = [
+        ("km", 1000.0),
+        ("mi", 1609.344),
+        ("nm", 1852.0),
+        ("yd", 0.9144),
+        ("ft", 0.3048),
+        ("in", 0.0254),
+        ("mm", 0.001),
+        ("cm", 0.01),
+        ("m", 1.0),
+    ]
+    for suffix, mult in units:
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * mult
+    return float(s)
+
+
+def _close_ring(ring: Sequence[Sequence[float]]) -> List[Point]:
+    pts = [(float(p[0]), float(p[1])) for p in ring]
+    if pts and pts[0] != pts[-1]:
+        pts.append(pts[0])
+    return pts
+
+
+def parse_shape(d: dict) -> Shape:
+    """GeoJSON(+ES extensions envelope/circle) -> normalized Shape."""
+    t = str(d.get("type", "")).lower()
+    coords = d.get("coordinates")
+    if t == "point":
+        return Shape([(float(coords[0]), float(coords[1]))], [], [])
+    if t == "multipoint":
+        return Shape(
+            [(float(c[0]), float(c[1])) for c in coords], [], []
+        )
+    if t == "linestring":
+        return Shape(
+            [], [[(float(c[0]), float(c[1])) for c in coords]], []
+        )
+    if t == "multilinestring":
+        return Shape(
+            [],
+            [[(float(c[0]), float(c[1])) for c in line] for line in coords],
+            [],
+        )
+    if t == "polygon":
+        return Shape([], [], [[_close_ring(r) for r in coords]])
+    if t == "multipolygon":
+        return Shape(
+            [], [], [[_close_ring(r) for r in poly] for poly in coords]
+        )
+    if t == "envelope":
+        # ES convention: [[minLon, maxLat], [maxLon, minLat]]
+        (x1, y2), (x2, y1) = coords
+        ring = [
+            (float(x1), float(y1)),
+            (float(x2), float(y1)),
+            (float(x2), float(y2)),
+            (float(x1), float(y2)),
+            (float(x1), float(y1)),
+        ]
+        return Shape([], [], [[ring]])
+    if t == "circle":
+        center = (float(coords[0]), float(coords[1]))
+        r = parse_distance(d.get("radius", 0))
+        return Shape([], [], [_circle_polygon(center, r)])
+    if t == "geometrycollection":
+        out = Shape([], [], [])
+        for g in d.get("geometries", []):
+            out = out.merge(parse_shape(g))
+        return out
+    raise ValueError(f"unsupported geoshape type: {t!r}")
+
+
+# -- planar primitives ------------------------------------------------------
+
+
+def _orient(a: Point, b: Point, c: Point) -> float:
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _on_seg(a: Point, b: Point, p: Point) -> bool:
+    if abs(_orient(a, b, p)) > 1e-18:
+        return False
+    return (
+        min(a[0], b[0]) - 1e-12 <= p[0] <= max(a[0], b[0]) + 1e-12
+        and min(a[1], b[1]) - 1e-12 <= p[1] <= max(a[1], b[1]) + 1e-12
+    )
+
+
+def _seg_intersect(a: Point, b: Point, c: Point, d: Point) -> bool:
+    o1, o2 = _orient(a, b, c), _orient(a, b, d)
+    o3, o4 = _orient(c, d, a), _orient(c, d, b)
+    if ((o1 > 0) != (o2 > 0)) and ((o3 > 0) != (o4 > 0)) and o1 and o2 and o3 and o4:
+        return True
+    return (
+        _on_seg(a, b, c)
+        or _on_seg(a, b, d)
+        or _on_seg(c, d, a)
+        or _on_seg(c, d, b)
+    )
+
+
+def _point_in_rings(p: Point, rings: List[List[Point]]) -> bool:
+    """Even-odd over outer ring + holes; boundary counts as inside."""
+    inside = False
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            a, b = ring[i], ring[i + 1]
+            if _on_seg(a, b, p):
+                return True  # boundary
+            if (a[1] > p[1]) != (b[1] > p[1]):
+                x = a[0] + (p[1] - a[1]) * (b[0] - a[0]) / (b[1] - a[1])
+                if x > p[0]:
+                    inside = not inside
+    return inside
+
+
+def _ring_edges(rings: List[List[Point]]):
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            yield ring[i], ring[i + 1]
+
+
+def _line_edges(line: List[Point]):
+    for i in range(len(line) - 1):
+        yield line[i], line[i + 1]
+
+
+def _edges_cross(edges_a, edges_b) -> bool:
+    eb = list(edges_b)
+    for a1, a2 in edges_a:
+        for b1, b2 in eb:
+            if _seg_intersect(a1, a2, b1, b2):
+                return True
+    return False
+
+
+def _line_in_rings(line: List[Point], rings) -> bool:
+    if not all(_point_in_rings(p, rings) for p in line):
+        return False
+    # no proper crossing out of the polygon: any edge intersection that
+    # is not pure touching could exit; check midpoints of subdivided
+    # segments stay inside when an intersection exists
+    for a, b in _line_edges(line):
+        for c, d in _ring_edges(rings):
+            if _seg_intersect(a, b, c, d):
+                mid = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
+                if not _point_in_rings(mid, rings):
+                    return False
+    return True
+
+
+def _poly_in_rings(inner: List[List[Point]], outer) -> bool:
+    """inner polygon (rings) fully inside outer (rings)."""
+    if not all(_point_in_rings(p, outer) for p in inner[0]):
+        return False
+    for a, b in _ring_edges(inner):
+        for c, d in _ring_edges(outer):
+            if _seg_intersect(a, b, c, d):
+                mid = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
+                if not _point_in_rings(mid, outer):
+                    return False
+    # outer's holes must not poke into inner: no hole vertex strictly
+    # inside inner unless the hole is outside it entirely (covered by
+    # the edge-crossing check above for overlapping boundaries)
+    for hole in outer[1:]:
+        if any(_point_in_rings(p, inner) for p in hole[:-1]):
+            return False
+    return True
+
+
+def _poly_intersects_poly(pa, pb) -> bool:
+    if _edges_cross(_ring_edges(pa), _ring_edges(pb)):
+        return True
+    return _point_in_rings(pb[0][0], pa) or _point_in_rings(pa[0][0], pb)
+
+
+# -- shape-level relations --------------------------------------------------
+
+
+def intersects(a: Shape, b: Shape) -> bool:
+    """Any part of a touches any part of b."""
+    for p in a.points:
+        if _point_touches(p, b):
+            return True
+    for p in b.points:
+        if _point_touches(p, a):
+            return True
+    for la in a.lines:
+        for lb in b.lines:
+            if _edges_cross(_line_edges(la), _line_edges(lb)):
+                return True
+        for pb in b.polygons:
+            if _line_touches_poly(la, pb):
+                return True
+    for lb in b.lines:
+        for pa in a.polygons:
+            if _line_touches_poly(lb, pa):
+                return True
+    for pa in a.polygons:
+        for pb in b.polygons:
+            if _poly_intersects_poly(pa, pb):
+                return True
+    return False
+
+
+def _point_touches(p: Point, s: Shape) -> bool:
+    for q in s.points:
+        if abs(q[0] - p[0]) < 1e-12 and abs(q[1] - p[1]) < 1e-12:
+            return True
+    for line in s.lines:
+        for a, b in _line_edges(line):
+            if _on_seg(a, b, p):
+                return True
+    for rings in s.polygons:
+        if _point_in_rings(p, rings):
+            return True
+    return False
+
+
+def _line_touches_poly(line: List[Point], rings) -> bool:
+    if any(_point_in_rings(p, rings) for p in line):
+        return True
+    return _edges_cross(_line_edges(line), _ring_edges(rings))
+
+
+def contains(a: Shape, b: Shape) -> bool:
+    """Every part of b lies inside some polygon of a (only polygonal
+    shapes can contain; the reference likewise resolves containment
+    against polygon coverings)."""
+    if not a.polygons:
+        return False
+    for p in b.points:
+        if not any(_point_in_rings(p, rings) for rings in a.polygons):
+            return False
+    for line in b.lines:
+        if not any(_line_in_rings(line, rings) for rings in a.polygons):
+            return False
+    for poly in b.polygons:
+        if not any(_poly_in_rings(poly, rings) for rings in a.polygons):
+            return False
+    return bool(b.points or b.lines or b.polygons)
+
+
+def relate(doc: Shape, query: Shape, relation: str) -> bool:
+    relation = relation.lower()
+    if relation == "intersects":
+        return intersects(doc, query)
+    if relation == "contains":
+        return contains(doc, query)
+    if relation == "within":
+        return contains(query, doc)
+    raise ValueError(f"unsupported geoshape relation: {relation!r}")
+
+
+def shape_from_value(v) -> Optional[Shape]:
+    """Stored-column value -> Shape: JSON string or dict-like row."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        try:
+            v = json.loads(v)
+        except ValueError:
+            return None
+    if hasattr(v, "asDict"):
+        v = v.asDict(recursive=True)
+    try:
+        return parse_shape(v)
+    except (ValueError, TypeError, KeyError, IndexError):
+        return None

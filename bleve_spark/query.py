@@ -134,6 +134,16 @@ class FilterQuery(Query):
 
 
 @dataclass
+class GeoShapeQuery(Query):
+    """ref: query/geo_shape.go + searcher/search_geoshape.go: a GeoJSON
+    (+envelope/circle) query geometry and a relation
+    (intersects | contains | within)."""
+
+    shape: Optional[dict] = None
+    relation: str = "intersects"
+
+
+@dataclass
 class GeoDistanceQuery(Query):  # ref: query/geo_distance.go
     location: object = None  # [lon,lat] | {"lon","lat"} | "lat, lon" | geohash
     distance: str = "1km"
@@ -253,6 +263,14 @@ def parse_query(d: dict) -> Query:
         return DocIDQuery(boost, fld, ids=d["ids"])
     if "cidr" in d:
         return IPRangeQuery(boost, fld, cidr=d["cidr"])
+    if "geometry" in d:
+        g = d["geometry"]
+        return GeoShapeQuery(
+            boost,
+            fld,
+            shape=g.get("shape"),
+            relation=g.get("relation", "intersects"),
+        )
     if "location" in d and "distance" in d:
         return GeoDistanceQuery(
             boost, fld, location=d["location"], distance=d["distance"]

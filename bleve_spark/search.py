@@ -799,6 +799,43 @@ class Searcher:
             return self._plan_const(
                 self.index.docs.where(pred).select("docid"), b
             )
+        if isinstance(q, Q.GeoShapeQuery):
+            from . import geoshape as GS
+
+            qshape = GS.parse_shape(q.shape)
+            relation = q.relation
+            docs = self.index.docs
+            bbox_col = f"{fld}__bbox"
+            if bbox_col in docs.columns:
+                # native prefilter (the s2 covering-token analogue):
+                # every relation implies bbox intersection, so this
+                # prunes in whole-stage codegen before any geometry UDF
+                x1, y1, x2, y2 = qshape.bbox()
+                bb = F.col(bbox_col)
+                docs = docs.where(
+                    (bb["minx"] <= x2)
+                    & (bb["maxx"] >= x1)
+                    & (bb["miny"] <= y2)
+                    & (bb["maxy"] >= y1)
+                )
+            col = F.col(fld)
+            try:
+                if isinstance(docs.schema[fld].dataType, T.StructType):
+                    col = F.to_json(col)
+            except Exception:
+                pass
+
+            @F.pandas_udf(T.BooleanType())
+            def rel_udf(vals: pd.Series) -> pd.Series:
+                def ok(v):
+                    s = GS.shape_from_value(v)
+                    return s is not None and GS.relate(s, qshape, relation)
+
+                return vals.map(ok)
+
+            return self._plan_const(
+                docs.where(rel_udf(col)).select("docid"), b
+            )
         if isinstance(
             q, (Q.GeoDistanceQuery, Q.GeoBoundingBoxQuery, Q.GeoPolygonQuery)
         ):
