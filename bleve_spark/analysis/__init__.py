@@ -223,12 +223,23 @@ register_analyzer(
         "web", web_tokenize, token_filters=[lowercase_filter, stop_en_filter]
     )
 )
+def _possessive_en(tokens):
+    from .lang_extra import possessive_filter_en
+
+    return possessive_filter_en(tokens)
+
+
 register_analyzer(
-    Analyzer(  # ref: analysis/lang/en/analyzer_en.go:35-66 (no possessive
-        # filter: parity corpora carry no possessives; add when needed)
+    Analyzer(  # ref: analysis/lang/en/analyzer_en.go:35-66
+        # (possessive -> lower -> stop -> porter)
         "en",
         unicode_tokenize,
-        token_filters=[lowercase_filter, stop_en_filter, porter_filter],
+        token_filters=[
+            _possessive_en,
+            lowercase_filter,
+            stop_en_filter,
+            porter_filter,
+        ],
     )
 )
 register_analyzer(
@@ -249,7 +260,10 @@ register_analyzer(
 for _name, _ft in _FAST_TERMFREQ.items():
     _REGISTRY[_name].fast_termfreq = _ft
 
-# top-tier language packs (de/fr/es/it/pt — ref: analysis/lang/*)
+# language packs (ref: analysis/lang/*): de/fr/es/it/pt light-stemmer
+# chains, ar/fa/hi/ckb normalizer chains, per-language stop filters
 from .lang import register_language_analyzers  # noqa: E402
+from .lang_extra import register_extended_analyzers  # noqa: E402
 
 register_language_analyzers()
+register_extended_analyzers()

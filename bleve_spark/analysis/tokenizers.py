@@ -22,7 +22,36 @@ Token = Tuple[str, int, int, int]  # (term, position, start, end)
 # by the camelCase filter for the code chain). MidLetter apostrophes kept
 # inside words ("can't"), matching blevesearch/segment behavior
 # (/root/reference/analysis/tokenizer/unicode/unicode.go:113-131).
-_UNICODE_WORD = re.compile(r"\w+(?:['’]\w+)*", re.UNICODE)
+# Combining marks (category M*) are UAX#29 Extend characters — part of
+# the word — but Python's \w excludes them, which would shatter Indic
+# and Arabic diacritic-bearing words; fold them into the class.
+
+
+def _combining_mark_class() -> str:
+    """Character-class ranges for BMP combining marks (category M*)."""
+    import unicodedata
+
+    ranges = []
+    start = prev = None
+    for cp in range(0x0300, 0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            ranges.append((start, prev))
+            start = None
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        f"\\u{a:04x}-\\u{b:04x}" if b > a else f"\\u{a:04x}"
+        for a, b in ranges
+    )
+
+
+_MARKS = _combining_mark_class()
+_W = f"[\\w{_MARKS}]"
+_UNICODE_WORD = re.compile(rf"\w{_W}*(?:['’]\w{_W}*)*", re.UNICODE)
 _LETTER = re.compile(r"[^\W\d_]+", re.UNICODE)
 _NONSPACE = re.compile(r"\S+", re.UNICODE)
 
