@@ -34,10 +34,35 @@ class Index:
     ):
         self.spark = spark
         self.index_path = index_path
-        self.mapping = mapping or IndexMapping()
+        if mapping is None:
+            # reopen with the persisted mapping when one exists (the
+            # index_meta.json analogue, ref: index_meta.go)
+            mapping = self._load_mapping(index_path) or IndexMapping()
+        self.mapping = mapping
         self.writer = IndexWriter(spark, self.mapping, index_path)
         self._snapshot: Optional[SearchIndex] = None
         self._closed = False
+
+    @staticmethod
+    def _mapping_path(index_path: str) -> str:
+        return os.path.join(index_path, "_MAPPING.json")
+
+    @staticmethod
+    def _load_mapping(index_path: str) -> Optional[IndexMapping]:
+        import json
+
+        try:
+            with open(Index._mapping_path(index_path)) as f:
+                return IndexMapping.from_dict(json.load(f))
+        except (OSError, ValueError):
+            return None
+
+    def _persist_mapping(self):
+        import json
+
+        os.makedirs(self.index_path, exist_ok=True)
+        with open(self._mapping_path(self.index_path), "w") as f:
+            json.dump(self.mapping.to_dict(), f)
 
     # -- snapshots -------------------------------------------------------
 
@@ -66,6 +91,22 @@ class Index:
         self._check_open()
         if not isinstance(docs, DataFrame):
             docs = self.spark.createDataFrame(docs)
+        if self.mapping.dynamic:
+            # dynamic inference: unmapped string columns become text
+            # fields with the default analyzer (ref:
+            # mapping/document.go:427-437 strings -> text)
+            from pyspark.sql import types as T
+
+            from .mapping import FieldMapping
+
+            for f in docs.schema.fields:
+                if (
+                    f.name not in ("_id", id_field)
+                    and isinstance(f.dataType, T.StringType)
+                    and f.name not in self.mapping.fields
+                ):
+                    self.mapping.add(FieldMapping(f.name))
+        self._persist_mapping()
         self.writer.batch_index(docs, id_expr=F.col(id_field))
         self._invalidate()
 

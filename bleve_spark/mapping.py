@@ -36,10 +36,38 @@ class IndexMapping:
     default_analyzer: str = "standard"  # ref: mapping/index.go:35
     default_field: str = "_all"  # ref: mapping/index.go:34
     compose_all: bool = False  # build the `_all` composite postings
+    # infer text mappings for unmapped string columns at write time
+    # (ref: mapping/document.go:427-437 Dynamic strings -> text)
+    dynamic: bool = True
 
     def add(self, fm: FieldMapping) -> "IndexMapping":
         self.fields[fm.name] = fm
         return self
+
+    # -- persistence (the index_meta.json analogue, ref: index_meta.go) --
+
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+
+        return {
+            "fields": {n: asdict(fm) for n, fm in self.fields.items()},
+            "default_analyzer": self.default_analyzer,
+            "default_field": self.default_field,
+            "compose_all": self.compose_all,
+            "dynamic": self.dynamic,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexMapping":
+        m = cls(
+            default_analyzer=d.get("default_analyzer", "standard"),
+            default_field=d.get("default_field", "_all"),
+            compose_all=bool(d.get("compose_all", False)),
+            dynamic=bool(d.get("dynamic", True)),
+        )
+        for name, fd in d.get("fields", {}).items():
+            m.add(FieldMapping(**fd))
+        return m
 
     def analyzer_for(self, field_name: str) -> str:
         """ref: mapping/field.go:44-48 (field analyzer, else default)."""

@@ -267,6 +267,40 @@ class IndexWriter:
         for s in seqs:
             shutil.rmtree(metas[s]["dir"], ignore_errors=True)
 
+    def rollback_points(self) -> List[int]:
+        """Available rollback targets: the segment seqs currently on
+        disk (ref: index/scorch/rollback.go RollbackPoints — scorch
+        keeps recent epochs; append-only segments keep all of ours)."""
+        return [m["seq"] for m in segment_metas(self.index_path)]
+
+    def rollback(self, to_seq: int) -> None:
+        """Physically revert to the state at seq `to_seq` (ref:
+        rollback.go Rollback): remove segments AND tombstones with
+        seq > to_seq. Read-only time travel without mutation is
+        SearchIndex(at_seq=...); this is the destructive variant that
+        makes the rollback permanent and reclaims space."""
+        metas = segment_metas(self.index_path)
+        if to_seq not in [m["seq"] for m in metas]:
+            raise ValueError(
+                f"no rollback point at seq {to_seq}; available: "
+                f"{[m['seq'] for m in metas]}"
+            )
+        for m in metas:
+            if m["seq"] > to_seq:
+                shutil.rmtree(m["dir"], ignore_errors=True)
+        tomb = self._tomb_dir()
+        if os.path.isdir(tomb):
+            t = self.spark.read.parquet(tomb)
+            kept = t.where(F.col("seq") <= to_seq)
+            tmp = tomb + "_rollback"
+            shutil.rmtree(tmp, ignore_errors=True)
+            if kept.count() > 0:
+                kept.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(tomb, ignore_errors=True)
+                os.rename(tmp, tomb)
+            else:
+                shutil.rmtree(tomb, ignore_errors=True)
+
     def compact(self, searcher_index=None) -> BuildReport:
         """Merge all segments minus tombstones into one fresh segment —
         the merger/mergeplan analogue collapsed to a single tier

@@ -242,3 +242,43 @@ def test_tiered_merge_leaves_big_segment(spark):
     )
     assert max(m["seq"] for m in segment_metas(path)) == merged_seq + 1
     assert "zz" in ids()
+
+
+def test_rollback(spark):
+    """Destructive rollback removes later segments + tombstones
+    (ref: index/scorch/rollback.go); results equal the at_seq
+    time-travel view of the same point."""
+    path = "/tmp/bleve_spark_rollback_test_index"
+    shutil.rmtree(path, ignore_errors=True)
+    w = IndexWriter(spark, _mapping(), path)
+    w.batch_index(
+        spark.createDataFrame([("a", "alpha fox"), ("b", "beta fox")], ["id", "body"]),
+        id_expr=F.col("id"),
+    )
+    w.batch_index(
+        spark.createDataFrame([("a", "alpha cat")], ["id", "body"]),  # upsert a
+        id_expr=F.col("id"),
+    )
+    w.delete(["b"])
+
+    def ids():
+        idx = SearchIndex(spark, path, _mapping())
+        res = Searcher(idx).search(
+            SearchRequest(query=parse_query({"term": "fox"}), size=10)
+        )
+        return sorted(r["_id"] for r in res.hits.collect())
+
+    assert ids() == []  # a upserted to cat, b deleted
+    assert w.rollback_points() == [0, 1]
+    # time-travel view at seq 0 matches what rollback will restore
+    tt = SearchIndex(spark, path, _mapping(), at_seq=0)
+    tt_ids = sorted(
+        r["_id"]
+        for r in Searcher(tt)
+        .search(SearchRequest(query=parse_query({"term": "fox"}), size=10))
+        .hits.collect()
+    )
+    w.rollback(0)
+    assert ids() == ["a", "b"] == tt_ids
+    with pytest.raises(ValueError):
+        w.rollback(7)
