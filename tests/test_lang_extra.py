@@ -360,3 +360,21 @@ def test_stop_filters_all_langs():
                  "ar fa hi ckb ca ga").split():
         f = stop_filter(lang)
         assert f([("zqzqzq", 1, 0, 6)]) == [("zqzqzq", 1, 0, 6)]
+
+
+# -- Croatian (ref: analysis/lang/hr/analyzer_hr_test.go) -------------------
+
+HR_ANALYZER = [
+    ('Hrvatska', ['hrvatsk']),
+    ('Hrvatski', ['hrvatsk']),
+    ('KOMARAC', ['komarc']),
+    ('crvi', ['crv']),
+    ('biti', []),
+    ('zaključcima', ['zaključk']),
+]
+
+
+def test_hr_analyzer_golden():
+    a = get_analyzer("hr")
+    for text, expected in HR_ANALYZER:
+        assert a.terms(text) == expected, text
