@@ -265,7 +265,9 @@ for _name, _ft in _FAST_TERMFREQ.items():
 from .lang import register_language_analyzers  # noqa: E402
 from .lang_extra import register_extended_analyzers  # noqa: E402
 from .lang_hr import register_hr_analyzer  # noqa: E402
+from .snowball import register_snowball_analyzers  # noqa: E402
 
 register_language_analyzers()
 register_extended_analyzers()
 register_hr_analyzer()
+register_snowball_analyzers()
