@@ -265,9 +265,13 @@ for _name, _ft in _FAST_TERMFREQ.items():
 from .lang import register_language_analyzers  # noqa: E402
 from .lang_extra import register_extended_analyzers  # noqa: E402
 from .lang_hr import register_hr_analyzer  # noqa: E402
-from .snowball import register_snowball_analyzers  # noqa: E402
+from .snowball import (  # noqa: E402
+    register_nl_analyzer,
+    register_snowball_analyzers,
+)
 
 register_language_analyzers()
 register_extended_analyzers()
 register_hr_analyzer()
 register_snowball_analyzers()
+register_nl_analyzer()

@@ -352,3 +352,162 @@ def register_snowball_analyzers():
                 token_filters=[lowercase_filter, stop_filter(name), stemmer],
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+
+
+_NL_VOWELS = "aeiouyè"
+
+
+def _nl_undouble(word: str) -> str:
+    if word.endswith(("kk", "dd", "tt")):
+        return word[:-1]
+    return word
+
+
+def _nl_valid_en_ending(word: str, cut: int) -> bool:
+    # non-vowel, and not the 'gem' exception
+    if cut == 0 or word[cut - 1] in _NL_VOWELS:
+        return False
+    return not word[:cut].endswith("gem")
+
+
+def stem_nl(word: str) -> str:
+    """Snowball Dutch: accent removal, i/y capitalization markers,
+    R1(min-3)/R2 suffix ladder, e-removal with undoubling, vowel
+    undoubling."""
+    # preprocess: strip umlauts/acutes
+    trans = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+    word = word.translate(trans)
+    if not word:
+        return word
+    # mark consonantal i/y
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+        elif (
+            chars[i] == "i"
+            and chars[i - 1] in _NL_VOWELS
+            and i + 1 < len(chars)
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    word = "".join(chars)
+
+    r1 = _r1_min3(word, _NL_VOWELS)
+    # R2
+    r2 = len(word)
+    for i in range(r1 + 1, len(word)):
+        if word[i] not in _NL_VOWELS and word[i - 1] in _NL_VOWELS:
+            r2 = i + 1
+            break
+
+    # step 1
+    suf = _longest_suffix(word, r1, ("heden", "ene", "en", "se", "s"))
+    if suf == "heden":
+        word = word[: -len(suf)] + "heid"
+    elif suf in ("ene", "en"):
+        cut = len(word) - len(suf)
+        if _nl_valid_en_ending(word, cut):
+            word = _nl_undouble(word[:cut])
+    elif suf in ("se", "s"):
+        cut = len(word) - len(suf)
+        if cut > 0 and word[cut - 1] not in _NL_VOWELS + "j":
+            word = word[:cut]
+
+    # step 2
+    e_removed = False
+    if (
+        word.endswith("e")
+        and len(word) - 1 >= r1
+        and len(word) >= 2
+        and word[-2] not in _NL_VOWELS
+    ):
+        word = _nl_undouble(word[:-1])
+        e_removed = True
+
+    # step 3a: heid
+    if (
+        word.endswith("heid")
+        and len(word) - 4 >= r2
+        and (len(word) < 5 or word[-5] != "c")
+    ):
+        word = word[:-4]
+        if word.endswith("en"):
+            cut = len(word) - 2
+            if cut >= r1 and _nl_valid_en_ending(word, cut):
+                word = _nl_undouble(word[:cut])
+
+    # step 3b: d-suffixes
+    suf = _longest_suffix(word, r2, ("end", "ing"))
+    if suf is not None:
+        word = word[: -len(suf)]
+        if (
+            word.endswith("ig")
+            and len(word) - 2 >= r2
+            and (len(word) < 3 or word[-3] != "e")
+        ):
+            word = word[:-2]
+        else:
+            word = _nl_undouble(word)
+    elif (
+        word.endswith("ig")
+        and len(word) - 2 >= r2
+        and (len(word) < 3 or word[-3] != "e")
+    ):
+        word = word[:-2]
+    elif word.endswith("lijk") and len(word) - 4 >= r2:
+        word = word[:-4]
+        # repeat step 2
+        if (
+            word.endswith("e")
+            and len(word) - 1 >= r1
+            and len(word) >= 2
+            and word[-2] not in _NL_VOWELS
+        ):
+            word = _nl_undouble(word[:-1])
+    elif word.endswith("baar") and len(word) - 4 >= r2:
+        word = word[:-4]
+    elif word.endswith("bar") and len(word) - 3 >= r2 and e_removed:
+        word = word[:-3]
+
+    # step 4: undouble vowel in C V V D
+    if len(word) >= 4:
+        c, v1, v2, d = word[-4], word[-3], word[-2], word[-1]
+        if (
+            c not in _NL_VOWELS
+            and v1 == v2
+            and v1 in "aeou"
+            and d not in _NL_VOWELS
+            and d != "I"
+        ):
+            word = word[:-2] + word[-1]
+
+    return word.translate(str.maketrans("IY", "iy"))
+
+
+snowball_nl_filter = _term_filter(stem_nl)
+
+
+def register_nl_analyzer():
+    from . import Analyzer, register_analyzer
+    from .filters import lowercase_filter
+    from .lang_extra import stop_filter
+    from .tokenizers import unicode_tokenize
+
+    register_analyzer(
+        Analyzer(  # ref: lang/nl/analyzer_nl.go
+            "nl",
+            unicode_tokenize,
+            token_filters=[
+                lowercase_filter,
+                stop_filter("nl"),
+                snowball_nl_filter,
+            ],
+        )
+    )

@@ -5,7 +5,13 @@ Snowball algorithms (analysis/snowball.py)."""
 import pytest
 
 from bleve_spark.analysis import get_analyzer
-from bleve_spark.analysis.snowball import stem_da, stem_no, stem_ru, stem_sv
+from bleve_spark.analysis.snowball import (
+    stem_da,
+    stem_nl,
+    stem_no,
+    stem_ru,
+    stem_sv,
+)
 
 DA_ANALYZER = [
     ('undersøg', ['undersøg']),
@@ -35,6 +41,12 @@ RU_ANALYZER = [
 ]
 
 
+NL_ANALYZER = [
+    ('lichamelijk', ['licham']),
+    ('lichamelijke', ['licham']),
+    ('van', []),
+]
+
 @pytest.mark.parametrize(
     "lang,cases",
     [
@@ -42,6 +54,7 @@ RU_ANALYZER = [
         ("no", NO_ANALYZER),
         ("sv", SV_ANALYZER),
         ("ru", RU_ANALYZER),
+        ("nl", NL_ANALYZER),
     ],
 )
 def test_snowball_analyzer_golden(lang, cases):
@@ -61,3 +74,6 @@ def test_snowball_spot_checks():
     assert stem_ru("книгами") == "книг"
     assert stem_ru("красивые") == "красив"
     assert stem_ru("бегавшая") == "бега"
+    assert stem_nl("lichamen") == "licham"
+    assert stem_nl("huizen") == "huiz"
+    assert stem_nl("opheffing") == "opheff"
