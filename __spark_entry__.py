@@ -385,6 +385,87 @@ WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
 """
 
 
+def _events_geo_index(spark, sf_dir) -> SearchIndex:
+    """Events re-indexed with a GeoJSON point column derived from
+    (value, user_id) — exercises the geoshape plane end-to-end
+    (build-time bbox columns + query-time relation UDF)."""
+    cache_key = sf_dir + ":geo"
+    if cache_key in _INDEXES:
+        return _INDEXES[cache_key]
+    from bleve_spark import FieldMapping, IndexMapping
+
+    key = hashlib.md5(cache_key.encode()).hexdigest()[:10]
+    path = f"/tmp/bleve_spark_entry/{key}"
+    mapping = IndexMapping(default_analyzer="keyword", compose_all=False)
+    mapping.add(FieldMapping("event_type", analyzer="keyword"))
+    mapping.add(FieldMapping("region", type="geoshape", index=False))
+    events = _load(spark, sf_dir, "events").withColumn(
+        "region",
+        F.to_json(
+            F.struct(
+                F.lit("point").alias("type"),
+                F.array(
+                    F.col("value"), F.col("user_id").cast("double")
+                ).alias("coordinates"),
+            )
+        ),
+    )
+    IndexBuilder(spark, mapping, path).build(
+        events,
+        id_expr=F.col("event_id").cast("string"),
+        fingerprint=f"{cache_key}:{events.count()}",
+    )
+    idx = SearchIndex(spark, path, mapping)
+    _INDEXES[cache_key] = idx
+    return idx
+
+
+def _q_ft_geoshape(spark, sf_dir):
+    """Envelope-intersects over GeoJSON points: SQL-expressible as a
+    rectangle containment, so the geoshape path gets a full oracle."""
+    s = Searcher(_events_geo_index(spark, sf_dir))
+    q = Q.GeoShapeQuery(
+        field="region",
+        shape={
+            # ES envelope convention: [[minLon, maxLat], [maxLon, minLat]]
+            "type": "envelope",
+            "coordinates": [[2.0, 30.0], [9.0, 10.0]],
+        },
+        relation="intersects",
+    )
+    return _all_hits(s, q, F.col("event_id"))
+
+
+_SQL_FT_GEOSHAPE = """
+SELECT event_id FROM events
+WHERE value  >= 2.0 AND value  <= 9.0
+  AND user_id >= 10 AND user_id <= 30
+"""
+
+
+def _q_ft_filter(spark, sf_dir):
+    """FilterQuery: term hits post-filtered by a stored-field predicate
+    (searcher/search_filter.go analogue)."""
+    s = _searcher(spark, sf_dir)
+    q = Q.FilterQuery(
+        child=Q.TermQuery(field="text", term="spark"),
+        predicate="lang = 'en' AND n_chars > 400",
+    )
+    return _all_hits(
+        s, q, F.col("doc_id"), r4(F.col("score")).alias("score_r")
+    )
+
+
+_SQL_FT_FILTER = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}, {_NN}
+SELECT t.doc_id AS doc_id,
+       {R4("sqrt(t.tf) * cast(1.0/sqrt(t.dl) AS real) * (1.0 + ln(nn.n/(dfreq.df+1.0)))")} AS score_r
+FROM tf t JOIN documents d ON d.doc_id = t.doc_id, dfreq, nn
+WHERE t.term='spark' AND dfreq.term='spark'
+  AND d.lang = 'en' AND d.n_chars > 400
+"""
+
+
 def _q_ft_dict_topdf(spark, sf_dir):
     idx = _doc_index(spark, sf_dir)
     return (
@@ -833,6 +914,8 @@ _REGISTRY: dict[str, tuple] = {
     "ft_prefix": (_q_ft_prefix, _SQL_FT_PREFIX),
     "ft_match_de": (_q_ft_match_de, _sql_ft_match_de()),
     "ft_date_range": (_q_ft_date_range, _SQL_FT_DATE_RANGE),
+    "ft_geoshape": (_q_ft_geoshape, _SQL_FT_GEOSHAPE),
+    "ft_filter": (_q_ft_filter, _SQL_FT_FILTER),
     "ft_dict_topdf": (_q_ft_dict_topdf, _SQL_FT_DICT),
     "ft_fuzzy_dict": (_q_ft_fuzzy_dict, _SQL_FT_FUZZY),
     "ft_wildcard_dict": (_q_ft_wildcard_dict, _SQL_FT_WILDCARD),
