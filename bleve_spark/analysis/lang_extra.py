@@ -12,11 +12,14 @@ Chains (all lowercase via the shared filter unless noted):
   ckb: unicode -> normalize_ckb -> lower -> stop_ckb -> stemmer_ckb
                                         (ref: analysis/lang/ckb/*)
 
-Languages whose reference analyzers depend on external snowball
-stemmers (da/fi/hu/nl/no/pl/ro/ru/sv/tr/hr) expose their stop lists as
-named filters (stop_filter('ru') etc.) for custom chains but register
-no analyzer — a stop-only chain would silently diverge from the
-reference's stemmed output.
+Snowball-dependent analyzers: da/no/sv/nl/ru are registered via
+analysis/snowball.py (hand-implemented Snowball algorithms); hr via
+lang_hr.py (native rule stemmer). fi/hu/ro/tr/pl expose their stop
+lists as named filters (stop_filter('fi') etc.) for custom chains but
+register no analyzer — a stop-only chain would silently diverge from
+the reference's stemmed output, and those four Snowball algorithms
+(plus pl's stempel trie) are too intricate to re-derive reliably
+without a conformance vocabulary to verify against.
 """
 
 from __future__ import annotations
@@ -476,3 +479,45 @@ def register_extended_analyzers():
             ],
         )
     )
+
+
+# -- EN plural stemmer (ref: lang/en/plural_stemmer.go, "stemmer_en_plural")
+
+_OES_EXCEPTIONS = ("shoes", "canoes", "oboes")
+_CHES_EXCEPTIONS = (
+    "cliches", "avalanches", "mustaches", "moustaches", "quiches",
+    "headaches", "heartaches", "porsches", "tranches", "caches",
+)
+
+
+def english_plural_stem(word: str) -> str:
+    """S-stemmer variant: strip plural s/es/ies with the reference's
+    exception lists (suffix match)."""
+    w = word.lower()
+    if len(w) < 3 or w[-1] != "s":
+        return w
+    second = w[-2]
+    if second in ("u", "s"):
+        return w
+    if second == "e":
+        if len(w) > 4 and w[-3] == "i":
+            return w[:-3] + "y"
+        if len(w) > 3:
+            if len(w) > 4 and w[-3] == "x":
+                return w[:-2]
+            if w[-3] == "o":
+                if w.endswith(_OES_EXCEPTIONS):
+                    return w[:-1]
+                return w[:-2]
+            if len(w) > 4:
+                if w[-4] == "s" and w[-3] in ("h", "s"):
+                    return w[:-2]
+                if w[-4] == "c" and w[-3] == "h":
+                    if w.endswith(_CHES_EXCEPTIONS):
+                        return w[:-1]
+                    return w[:-2]
+        return w[:-1]
+    return w[:-1]
+
+
+english_plural_stem_filter = _term_filter(english_plural_stem)

@@ -378,3 +378,44 @@ def test_hr_analyzer_golden():
     a = get_analyzer("hr")
     for text, expected in HR_ANALYZER:
         assert a.terms(text) == expected, text
+
+
+# -- EN plural stemmer vectors (ref: lang/en/plural_stemmer_test.go) --------
+
+EN_PLURAL = [
+    ('dresses', 'dress'),
+    ('dress', 'dress'),
+    ('axes', 'axe'),
+    ('ad', 'ad'),
+    ('ads', 'ad'),
+    ('gas', 'ga'),
+    ('sass', 'sass'),
+    ('berries', 'berry'),
+    ('dresses', 'dress'),
+    ('spies', 'spy'),
+    ('shoes', 'shoe'),
+    ('headaches', 'headache'),
+    ('computer', 'computer'),
+    ('dressing', 'dressing'),
+    ('clothes', 'clothe'),
+    ('DRESSES', 'dress'),
+    ('frog', 'frog'),
+    ('dress', 'dress'),
+    ('runs', 'run'),
+    ('pies', 'pie'),
+    ('foxes', 'fox'),
+    ('axes', 'axe'),
+    ('foes', 'fo'),
+    ('dishes', 'dish'),
+    ('snitches', 'snitch'),
+    ('cliches', 'cliche'),
+    ('forests', 'forest'),
+    ('yes', 'ye'),
+]
+
+
+@pytest.mark.parametrize("inp,out", EN_PLURAL)
+def test_english_plural_stem(inp, out):
+    from bleve_spark.analysis.lang_extra import english_plural_stem
+
+    assert english_plural_stem(inp) == out
