@@ -519,7 +519,30 @@ class Searcher:
         nslots = len(slots)
 
         def build(qn):
-            decoded = self.index.decoded(fld, present, need_positions=True)
+            # block-intersection prefilter — the conjunction-bitmap
+            # analogue (ref: index/scorch/optimize.go:25-92
+            # OptimizeTFRConjunction): posting blocks are docid-range
+            # aligned, so every phrase candidate doc lives in a block
+            # where EVERY slot has postings. Intersecting the slots'
+            # block-id sets is a metadata-only scan (no decode, no
+            # pos_enc read) that prunes the expensive positions decode
+            # to co-occurring ranges — at 100 TB a rare slot shrinks a
+            # hot slot's decode to its own neighborhoods.
+            blocks_src = self.index.blocks(fld, present)
+            if nslots > 1:
+                common = None
+                for alts, _p in slots:
+                    ts = [t for t in alts if t in stats]
+                    bi = (
+                        self.index.blocks(fld, ts)
+                        .select("block")
+                        .distinct()
+                    )
+                    common = bi if common is None else common.join(bi, "block")
+                blocks_src = blocks_src.join(common, "block")
+            decoded = self.index.decoded(
+                fld, present, need_positions=True, blocks=blocks_src
+            )
             # fan decoded term rows out to their phrase slots (a term may
             # serve several slots; the join duplicates it per slot)
             slot_entries = [
