@@ -528,8 +528,15 @@ class Searcher:
             # pos_enc read) that prunes the expensive positions decode
             # to co-occurring ranges — at 100 TB a rare slot shrinks a
             # hot slot's decode to its own neighborhoods.
+            # cost gate: the prefilter's metadata scan only pays when a
+            # selective slot can actually prune a hot one (df ratio)
+            slot_dfs = [
+                sum(stats[t][0] for t in alts if t in stats)
+                for alts, _p in slots
+            ]
+            selective = min(slot_dfs) * 4 < max(slot_dfs)
             blocks_src = self.index.blocks(fld, present)
-            if nslots > 1:
+            if nslots > 1 and selective:
                 common = None
                 for alts, _p in slots:
                     ts = [t for t in alts if t in stats]
