@@ -137,10 +137,18 @@ class Index:
         return self.reader().doc_count
 
     def document(self, doc_id: str) -> Optional[Dict]:
-        """Stored-field fetch (ref: index_impl.go:319-368)."""
+        """Stored-field fetch (ref: index_impl.go:319-368). When the
+        index carries the `_idh` pruning column (docs are written in
+        hash order), the lookup filters on it first so parquet
+        row-group min/max stats prune the scan."""
+        docs = self.reader().docs
+        pred = F.col("_id") == str(doc_id)
+        if "_idh" in docs.columns:
+            pred = (
+                F.col("_idh") == F.xxhash64(F.lit(str(doc_id)))
+            ) & pred
         rows = (
-            self.reader()
-            .docs.where(F.col("_id") == str(doc_id))
+            docs.where(pred)
             .orderBy(F.desc("docid"))  # newest version wins
             .limit(1)
             .collect()
@@ -149,6 +157,7 @@ class Index:
             return None
         d = rows[0].asDict(recursive=True)
         d.pop("docid", None)
+        d.pop("_idh", None)
         return d
 
     def fields(self) -> List[str]:

@@ -393,9 +393,10 @@ class IndexBuilder:
             if id_expr is None:
                 id_expr = F.col("_id")
             keyed = corpus.withColumn("_id", id_expr)
-            stored = [
-                c for c in corpus.columns if c != "_id"
-            ]  # stored plane = the corpus columns themselves (docvalues too)
+            # stored plane = the corpus columns themselves (docvalues
+            # too); _idh is re-derived, never carried (rebuild inputs
+            # from compact()/merge include it)
+            stored = [c for c in corpus.columns if c not in ("_id", "_idh")]
             # One content shuffle total: the whole corpus goes through the
             # two-pass range ranking (sample -> range exchange on _id ->
             # per-partition counts -> offset+local index). The output is
@@ -414,7 +415,15 @@ class IndexBuilder:
             # backtick-quote: dotted-path field names (flattened nested
             # fields, e.g. manages.reports) are plain column names here
             sel = docs.select(
-                "docid", "_id", *[F.col(f"`{c}`") for c in stored]
+                "docid",
+                "_id",
+                # _idh: stored-fetch pruning key. docs are written in
+                # (hash-bucket, _id) order, so row groups hold narrow
+                # _idh ranges; Document(id) filters on _idh and gets
+                # parquet min/max pruning that plain _id (hash-shuffled
+                # across the file) cannot provide
+                F.xxhash64(F.col("_id")).alias("_idh"),
+                *[F.col(f"`{c}`") for c in stored],
             )
             # geoshape fields get a bbox struct column — the native
             # prefilter the query side prunes with (the s2
