@@ -31,12 +31,16 @@ def stream_index(
     checkpoint: Optional[str] = None,
     trigger_available_now: bool = True,
     compact_every: int = 0,
+    merge_opts=None,
 ):
     """Start a streaming query that indexes every micro-batch as one
     segment. Returns the StreamingQuery (caller awaits/stops it).
 
-    compact_every: if > 0, run writer.compact() whenever the segment
-    count reaches this bound (the tiered-merge stand-in).
+    compact_every: if > 0, run the TIERED merger (writer.maybe_merge,
+    ref mergeplan) whenever the segment count reaches this bound —
+    over-full tiers of small segments merge incrementally instead of
+    rewriting the whole index per compaction. merge_opts overrides the
+    MergePlanOptions.
     """
     if id_expr is None:
         id_expr = F.col("_id")
@@ -46,10 +50,10 @@ def stream_index(
             return
         writer.batch_index(df, id_expr=id_expr)
         if compact_every > 0:
-            from .writer import segment_metas
+            from .writer import MergePlanOptions, segment_metas
 
             if len(segment_metas(writer.index_path)) >= compact_every:
-                writer.compact()
+                writer.maybe_merge(merge_opts or MergePlanOptions())
 
     out = stream.writeStream.foreachBatch(handle_batch)
     if checkpoint:

@@ -147,6 +147,28 @@ def cmd_query(args):
     print(json.dumps(out, default=str))
 
 
+def cmd_serve(args):
+    """Host the REST handler layer (bleve_spark/http_api.py) from the
+    Spark driver — the reference's http/*.go surface over spark-submit."""
+    import time as _time
+
+    from bleve_spark.http_api import HttpServer
+
+    spark = _session(args)
+    srv = HttpServer(spark, args.base_path, port=args.port).start()
+    print(
+        json.dumps(
+            {"status": "serving", "port": srv.port, "base_path": args.base_path}
+        ),
+        flush=True,
+    )
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="spark_job.py", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -175,11 +197,19 @@ def main(argv=None):
     q.add_argument("--total", action="store_true")
     q.add_argument("--highlight", default=None, help="comma-separated fields")
 
+    s = sub.add_parser(
+        "serve", parents=[common], help="serve the HTTP API"
+    )
+    s.add_argument("--base-path", required=True)
+    s.add_argument("--port", type=int, default=8094)
+
     args = p.parse_args(argv)
     if args.cmd == "package":
         return cmd_package(args)
     if args.cmd == "build":
         return cmd_build(args)
+    if args.cmd == "serve":
+        return cmd_serve(args)
     return cmd_query(args)
 
 
