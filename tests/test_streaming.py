@@ -84,3 +84,66 @@ def test_stream_ingestion_end_to_end(spark):
     from bleve_spark.writer import segment_metas
 
     assert len(segment_metas(IDX)) == 2
+
+
+def test_streaming_tiered_merge(spark, tmp_path):
+    """compact_every triggers the tiered merger: small segments fold
+    incrementally, results stay identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bleve_spark import (
+        FieldMapping,
+        IndexMapping,
+        IndexWriter,
+        SearchIndex,
+        Searcher,
+        SearchRequest,
+        parse_query,
+    )
+    from bleve_spark.streaming import stream_index
+    from bleve_spark.writer import MergePlanOptions, segment_metas
+
+    src_dir = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    m = IndexMapping(default_analyzer="standard")
+    m.add(FieldMapping("body"))
+    w = IndexWriter(spark, m, idx_dir)
+    # 5 waves of 3 docs -> 5 segments without merging
+    import json as _json
+
+    for wave in range(5):
+        with open(f"{src_dir}/wave{wave}.json", "w") as f:
+            for i in range(3):
+                f.write(
+                    _json.dumps(
+                        {"_id": f"w{wave}d{i}", "body": f"common token{wave}"}
+                    )
+                    + "\n"
+                )
+        stream = (
+            spark.readStream.schema("_id string, body string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        q = stream_index(
+            w,
+            stream,
+            checkpoint=ckpt,
+            compact_every=3,
+            merge_opts=MergePlanOptions(
+                max_segments_per_tier=2,
+                segments_per_merge_task=2,
+                floor_segment_size=2,
+            ),
+        )
+        q.awaitTermination()
+    # tiered merging kept the segment count below the unmerged 5
+    assert len(segment_metas(idx_dir)) < 5
+    res = Searcher(SearchIndex(spark, idx_dir, m)).search(
+        SearchRequest(query=parse_query({"term": "common"}), size=50)
+    )
+    assert res.hits.count() == 15
