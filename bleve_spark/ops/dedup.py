@@ -57,23 +57,57 @@ def shingle_sets(df: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text: str = "text", k: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    text: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by k-gram shingle Jaccard >= threshold.
 
-    candidate generation = self-equi-join on shingle (co-partitioned
-    shuffle join on the shingle key); Jaccard from |A∩B| / (|A|+|B|-|A∩B|).
+    Candidate generation = self-equi-join on shingle (co-partitioned
+    shuffle join on the shingle key). Shingles shared by more than
+    `max_shingle_df` docs are EXCLUDED from candidate generation — one
+    boilerplate shingle shared by m docs otherwise makes m^2 candidate
+    rows, the classic quadratic blowup on web/code corpora. The
+    Jaccard itself is still computed over the FULL shingle sets
+    (|A∩B| counts hot shingles too), so results are exact for every
+    pair that shares at least one sub-cap shingle; only pairs whose
+    overlap is exclusively >cap boilerplate are missed, which at a
+    0.6 threshold means m near-identical copies of one hot template —
+    exact-dedup's job, not Jaccard's.
     """
     sh = shingle_sets(df, text, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("sdf"))
+        .where(F.col("sdf") > max_shingle_df)
+        .select("shingle")
+    )
+    cand_sh = sh.join(hot, "shingle", "left_anti")
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
+        .distinct()
+    )
+    # exact |A∩B| for the candidates over the FULL shingle sets
+    fa = sh.alias("fa")
+    fb = sh.alias("fb")
+    common = (
+        cands.join(fa, F.col("fa.doc_id") == F.col("doc_a"))
+        .join(
+            fb,
+            (F.col("fb.doc_id") == F.col("doc_b"))
+            & (F.col("fb.shingle") == F.col("fa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(

@@ -149,3 +149,35 @@ def test_multimodal_plumbing(spark):
     # real decode is explicitly stubbed
     with pytest.raises(Exception):
         multimodal.extract_features(media, decode_mode="real").collect()
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Shingles over max_shingle_df are excluded from candidate
+    generation (quadratic-blowup guard) but still count toward the
+    exact Jaccard of surviving candidates."""
+    rows = (
+        # 6 docs share the hot boilerplate prefix; two of them are
+        # near-dups beyond it
+        [(i, "common boiler plate header text unique%d word%d tail%d" % (i, i, i), "en")
+         for i in range(4)]
+        + [(10, "common boiler plate header text alpha beta gamma delta", "en"),
+           (11, "common boiler plate header text alpha beta gamma epsilon", "en")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    # cap at 3: the boilerplate shingles (shared by all 6 docs) are
+    # dropped from candidate generation; the (10,11) pair still
+    # surfaces through its distinctive shingles, and its jaccard
+    # counts the boilerplate overlap exactly
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, k=3, threshold=0.5, max_shingle_df=3
+        ).collect()
+    }
+    assert (10, 11) in pairs
+    # exact jaccard: doc 10/11 shingle sets (k=3, 9 tokens -> 7 each),
+    # sharing 6 of them (prefix incl. alpha beta gamma) -> 6/8
+    assert pairs[(10, 11)] == pytest.approx(6 / 8, abs=1e-4)
+    # pure-boilerplate pairs (0..3 share ONLY >cap shingles) are not
+    # candidates at this cap
+    assert not any(a < 10 for a, _b in pairs)
