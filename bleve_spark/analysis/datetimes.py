@@ -290,8 +290,9 @@ class UnixParser:
 
     def __init__(self, divisor: float):
         self.divisor = divisor
-        # reference bounds: values must fit in int64 nanoseconds
-        self.bound = (2**63 - 1) / (1e9 / divisor) * divisor
+        # reference bounds: value * (1e9/divisor) must fit in int64
+        # nanoseconds, i.e. |value| <= (2^63-1) * divisor / 1e9
+        self.bound = (2**63 - 1) * divisor / 1e9
 
     def parse(self, value: str) -> datetime:
         try:
@@ -300,7 +301,10 @@ class UnixParser:
             raise ErrInvalidDateTime(f"invalid unix timestamp: {value!r}")
         if abs(raw) > self.bound:
             raise ErrInvalidDateTime(f"unix timestamp out of range: {value!r}")
-        return datetime.fromtimestamp(raw / self.divisor, tz=timezone.utc)
+        try:
+            return datetime.fromtimestamp(raw / self.divisor, tz=timezone.utc)
+        except (OverflowError, OSError, ValueError):
+            raise ErrInvalidDateTime(f"unix timestamp out of range: {value!r}")
 
 
 # NOTE: single-digit specifiers map to the padded strptime directives

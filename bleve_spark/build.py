@@ -392,7 +392,12 @@ class IndexBuilder:
             t0 = time.time()
             if id_expr is None:
                 id_expr = F.col("_id")
-            keyed = corpus.withColumn("_id", id_expr)
+            # _id is always a string (bleve doc ids are strings;
+            # ref: index.go Index(id string, ...)). Casting here keeps
+            # _idh = xxhash64(string) consistent with document()'s
+            # xxhash64(lit(str(doc_id))) probe — xxhash64 over an int
+            # column hashes the raw long bytes and would never match.
+            keyed = corpus.withColumn("_id", id_expr.cast("string"))
             # stored plane = the corpus columns themselves (docvalues
             # too); _idh is re-derived, never carried (rebuild inputs
             # from compact()/merge include it)

@@ -32,7 +32,7 @@ from typing import Dict, Optional
 
 from .api import Index
 from .mapping import IndexMapping
-from .query import parse_query
+from .query import parse_query, validate_query_filters
 from .search import SearchRequest
 
 
@@ -75,8 +75,13 @@ class IndexRegistry:
 
 
 def _search_payload(idx: Index, body: dict) -> dict:
+    parsed = parse_query(body["query"])
+    # HTTP bodies are untrusted: FilterQuery predicates go through
+    # F.expr() at search time, so restrict them to plain column
+    # comparisons here (no java_method()/reflect()/UDF invocation).
+    validate_query_filters(parsed)
     req = SearchRequest(
-        query=parse_query(body["query"]),
+        query=parsed,
         size=int(body.get("size", 10)),
         from_=int(body.get("from", 0)),
         sort=body.get("sort", ("-_score", "_id")),

@@ -10,6 +10,7 @@ bool/conjuncts/disjuncts/ids/match_all/match_none/query-string).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
@@ -131,6 +132,104 @@ class FilterQuery(Query):
 
     child: Optional["Query"] = None
     predicate: str = "true"
+
+
+# --- FilterQuery predicate validation (untrusted surfaces) -----------------
+#
+# FilterQuery.predicate is evaluated with F.expr() at search time
+# (search.py). From the Python API that is fine — the caller already holds
+# the driver. From the HTTP API it is an arbitrary-Spark-SQL surface
+# (java_method()/reflect() reach arbitrary JVM statics), which the
+# reference's HTTP handlers never expose. Untrusted entry points call
+# validate_filter_predicate() first, restricting the expression to plain
+# column comparisons: literals, (backticked/dotted) column refs,
+# comparison operators, AND/OR/NOT/IN/BETWEEN/IS/NULL/LIKE, parentheses.
+# Function-call syntax of any kind is rejected.
+
+_FILTER_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^'\\]|\\.|'')*')
+      | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<bq>`[^`]+`)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+      | (?P<op><=|>=|<>|!=|==|=|<|>|\(|\)|,)
+    )""",
+    re.VERBOSE,
+)
+
+_FILTER_KEYWORDS = frozenset(
+    {"and", "or", "not", "in", "between", "is", "null",
+     "like", "rlike", "true", "false"}
+)
+
+# SQL constructs that are never a plain column comparison — rejected
+# outright even without call syntax (subqueries, casts, case exprs,
+# window clauses, lambdas, interval literals)
+_FILTER_REJECT = frozenset(
+    {"select", "from", "where", "union", "join", "cast", "try_cast",
+     "case", "when", "then", "else", "end", "exists", "over", "window",
+     "lateral", "distinct", "interval", "struct", "map", "array",
+     "values", "insert", "update", "delete", "drop", "create", "alter"}
+)
+
+
+class UnsafeFilterPredicateError(ValueError):
+    pass
+
+
+def validate_filter_predicate(pred: str) -> None:
+    """Raise UnsafeFilterPredicateError unless ``pred`` is a plain
+    column-comparison boolean expression (no function calls, no
+    subqueries, no casts). Used by untrusted surfaces (HTTP API) before
+    a FilterQuery predicate reaches F.expr()."""
+    pos, n = 0, len(pred)
+    toks = []  # (kind, text)
+    while pos < n:
+        m = _FILTER_TOKEN.match(pred, pos)
+        if m is None or m.end() == pos:
+            rest = pred[pos:].strip()
+            if not rest:
+                break
+            raise UnsafeFilterPredicateError(
+                f"filter predicate: unsupported syntax at {rest[:20]!r}"
+            )
+        kind = m.lastgroup
+        toks.append((kind, m.group(kind)))
+        pos = m.end()
+    for i, (kind, text) in enumerate(toks):
+        if kind != "ident":
+            continue
+        low = text.lower()
+        if low in _FILTER_KEYWORDS:
+            continue
+        if low in _FILTER_REJECT or any(
+            part in _FILTER_REJECT for part in low.split(".")
+        ):
+            raise UnsafeFilterPredicateError(
+                f"filter predicate: {text!r} is not allowed"
+            )
+        # bare identifier = column reference; reject call syntax
+        if i + 1 < len(toks) and toks[i + 1][1] == "(":
+            raise UnsafeFilterPredicateError(
+                f"filter predicate: function calls are not allowed "
+                f"({text!r})"
+            )
+
+
+def validate_query_filters(q: "Query") -> None:
+    """Walk a parsed query tree and validate every FilterQuery
+    predicate (see validate_filter_predicate)."""
+    if isinstance(q, FilterQuery):
+        validate_filter_predicate(q.predicate)
+    for attr in ("child", "must", "should", "must_not", "conjuncts",
+                 "disjuncts"):
+        v = getattr(q, attr, None)
+        if isinstance(v, Query):
+            validate_query_filters(v)
+        elif isinstance(v, (list, tuple)):
+            for c in v:
+                if isinstance(c, Query):
+                    validate_query_filters(c)
 
 
 @dataclass

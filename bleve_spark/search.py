@@ -1613,9 +1613,7 @@ class Searcher:
                 page, loc_cols = self._apply_locations(page, req)
                 hl_cols = hl_cols + loc_cols
             page = page.select(*out_cols, *hl_cols)
-            facets = {}
-            for name, freq in req.facets.items():
-                facets[name] = self._facet(hits, freq)
+            page, facets = self._finish_faceted(hits, page, req)
             return SearchResult(hits=page, facets=facets, total=total)
         # global top-k: TakeOrderedAndProject (per-partition top-k + driver
         # merge — the collector/MultiSearch-merge analogue)
@@ -1637,10 +1635,27 @@ class Searcher:
             hl_cols = hl_cols + loc_cols
         page = page.select(*out_cols, *hl_cols)
 
-        facets = {}
-        for name, freq in req.facets.items():
-            facets[name] = self._facet(hits, freq)
+        page, facets = self._finish_faceted(hits, page, req)
         return SearchResult(hits=page, facets=facets, total=total)
+
+    def _finish_faceted(self, hits, page, req):
+        """Run the facet jobs (if any) and release the persisted match
+        set. The faceted path persist()s `hits` so the page job and each
+        facet job reuse one materialization; both outputs are small and
+        bounded (top-k page, size-limited facets), so they are collected
+        eagerly here and `hits` unpersisted in a finally — otherwise
+        every faceted search leaks a cached dataset for the lifetime of
+        the SparkSession."""
+        if not req.facets:
+            return page, {}
+        facets = {}
+        try:
+            for name, freq in req.facets.items():
+                facets[name] = _eager(self._facet(hits, freq))
+            page = _eager(page)
+        finally:
+            hits.unpersist()
+        return page, facets
 
     def _facet(self, hits: DataFrame, freq: FacetRequest) -> DataFrame:
         """Terms / numeric-range / date-range facets
@@ -1705,6 +1720,13 @@ class Searcher:
             .orderBy(F.desc("count"), "term")
             .limit(freq.size)
         )
+
+
+def _eager(df: DataFrame) -> DataFrame:
+    """Materialize a small bounded DataFrame on the driver and rewrap
+    it, so upstream cached inputs can be unpersisted without the result
+    silently recomputing later."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 def _parse_sort_specs(sort: Sequence) -> List[dict]:

@@ -91,7 +91,23 @@ def plan_merges(
                 members,
                 key=lambda s: seg_sizes[s] - dead_counts.get(s, 0),
             )
-            plans.append(members[: opts.segments_per_merge_task])
+            # Accumulate smallest-first but stop before the merged
+            # segment would exceed max_segment_size (ref merge_plan.go
+            # skips candidate tasks whose summed live size busts
+            # MaxSegmentSize) — otherwise one merge builds an oversize
+            # segment that is then permanently exempt from merging.
+            task: List[int] = []
+            summed = 0
+            for s in members:
+                live = max(seg_sizes[s] - dead_counts.get(s, 0), 0)
+                if task and summed + live > opts.max_segment_size:
+                    break
+                task.append(s)
+                summed += live
+                if len(task) >= opts.segments_per_merge_task:
+                    break
+            if len(task) >= 2:
+                plans.append(task)
     return plans
 
 
