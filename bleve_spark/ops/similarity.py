@@ -163,15 +163,74 @@ def lsh_band_keys(
     ).drop("bands")
 
 
+class LSHBandPlanError(ValueError):
+    """Raised when no band structure meets the recall target within the
+    band budget — the analogue of simhash_pairs' min_band_bits raise
+    (ops/dedup.py): better to fail loudly than to degenerate into an
+    all-pairs join at corpus scale."""
+
+
+def plan_lsh_bands(
+    n_rows: int,
+    threshold: float,
+    target_miss: float = 1e-6,
+    max_candidates_per_row: int = 64,
+    max_bands: int = 128,
+) -> tuple:
+    """Size (n_bands, bits_per_band) for all_pairs_above from the corpus
+    size and cosine threshold.
+
+    bits_per_band = ceil(log2(n / max_candidates_per_row)) bounds the
+    expected per-band candidate volume at n * max_candidates_per_row
+    under a uniform bucket model (each band has 2^bits buckets, so a row
+    meets ~n/2^bits candidates per band) — this is what keeps the
+    equi-join from degenerating toward all-pairs as n grows.  n_bands is
+    then the smallest count whose OR-construction miss probability
+    (1 - p^bits)^bands <= target_miss for a pair exactly at the
+    threshold, where p = 1 - arccos(threshold)/pi (random-hyperplane
+    collision probability).  If that needs more than max_bands bands,
+    raise: hyperplane LSH cannot hit the recall target at this
+    threshold/scale, and the caller must raise the threshold, the
+    candidate budget, or accept more miss — silently proceeding would
+    either miss pairs or blow up the join.
+    """
+    import math
+
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if n_rows > max_candidates_per_row:
+        bits = max(2, math.ceil(math.log2(n_rows / max_candidates_per_row)))
+    else:
+        bits = 2
+    p = 1.0 - math.acos(min(threshold, 0.9999)) / math.pi
+    p_band = p ** bits
+    if p_band <= 0.0:
+        raise LSHBandPlanError("threshold too low for banded LSH")
+    bands = max(1, math.ceil(math.log(target_miss) / math.log1p(-p_band)))
+    if bands > max_bands:
+        raise LSHBandPlanError(
+            f"banded LSH cannot reach miss<={target_miss:g} at "
+            f"threshold={threshold} with n={n_rows}: needs {bands} bands "
+            f"of {bits} bits (> max_bands={max_bands}). Raise the "
+            f"threshold, raise max_candidates_per_row, or relax "
+            f"target_miss."
+        )
+    return bands, bits
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 24,
-    bits_per_band: int = 2,
+    n_bands: Optional[int] = None,
+    bits_per_band: Optional[int] = None,
     seed: int = 7,
     dim: Optional[int] = None,
+    n_rows: Optional[int] = None,
+    target_miss: float = 1e-6,
+    max_candidates_per_row: int = 64,
+    max_bands: int = 128,
 ) -> DataFrame:
     """Embedding near-dup pairs: banded-LSH equi-join candidates (same
     (band, band_val) in any band), exact cosine filter >= threshold.
@@ -179,15 +238,25 @@ def all_pairs_above(
     filter means precision is 1.0 — LSH only generates candidates.
 
     Recall: a pair at cosine c collides per bit w.p. 1-arccos(c)/pi, so
-    per band p^bits and overall 1-(1-p^bits)^bands.  Defaults (24 bands x
-    2 bits) give miss < 1e-6 at c=0.5.  At a production near-dup
-    threshold (c>=0.9, p=0.86) use wider bands (e.g. 12 bits) so each
-    band has 4096 buckets and candidate volume stays ~n^2/2^bits per
-    band; bits_per_band should grow with log2(n) at fixed candidate
-    budget.  tests/test_ops.py asserts full recall vs brute force at
-    test scale."""
+    per band p^bits and overall 1-(1-p^bits)^bands.  By default the band
+    structure is sized by plan_lsh_bands() from the corpus row count
+    (one count() planning job; pass n_rows to skip) so that per-band
+    candidate volume stays <= n * max_candidates_per_row while pair miss
+    probability at the threshold stays <= target_miss — and it RAISES
+    (LSHBandPlanError) when no such structure exists, instead of
+    silently degenerating to an all-pairs join at corpus scale.
+    Explicit n_bands/bits_per_band override the planner (caller-informed
+    choice).  tests/test_ops.py asserts full recall vs brute force at
+    test scale and bounded candidate volume at 10^6-row scale."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
+    if n_bands is None or bits_per_band is None:
+        if n_rows is None:
+            n_rows = df.count()
+        n_bands, bits_per_band = plan_lsh_bands(
+            n_rows, threshold, target_miss, max_candidates_per_row,
+            max_bands,
+        )
     b = lsh_band_keys(df, dim, n_bands, bits_per_band, seed, vec_col)
     a = b.alias("a")
     c = b.alias("b")

@@ -121,6 +121,44 @@ def test_all_pairs_above_full_recall(spark):
     assert (3, 7) in {(x, y) for x, y, _ in got}
 
 
+def test_plan_lsh_bands_scale_guard():
+    """Band planner bounds candidate volume at corpus scale and raises
+    (like simhash's min_band_bits) when the recall target is
+    unreachable, instead of degenerating into an all-pairs join."""
+    import math
+
+    import pytest
+
+    from bleve_spark.ops.similarity import (
+        LSHBandPlanError,
+        plan_lsh_bands,
+    )
+
+    # synthetic 10^6-vector corpus at a production near-dup threshold
+    n = 1_000_000
+    bands, bits = plan_lsh_bands(n, threshold=0.9)
+    # candidate volume bound: each band has 2^bits buckets, so a row
+    # meets ~n/2^bits candidates per band — bounded by the budget
+    assert n / 2**bits <= 64
+    # recall bound at the threshold
+    p = 1 - math.acos(0.9) / math.pi
+    assert (1 - p**bits) ** bands <= 1e-6
+    assert bands <= 128
+    # total candidate work is ~n * budget * bands << n^2 (the old 2-bit
+    # default generated ~n^2/4 pairs per band = 2.5e11 per band at n=1e6)
+    assert n * 64 * bands < n * n / 100
+
+    # at the same scale a threshold of 0.5 cannot reach the recall
+    # target within the band budget -> loud failure, not quiet blowup
+    with pytest.raises(LSHBandPlanError):
+        plan_lsh_bands(n, threshold=0.5)
+
+    # small-n plans stay small and recall-safe (the full-recall test
+    # above runs this path end-to-end)
+    bands, bits = plan_lsh_bands(300, threshold=0.5)
+    assert bits <= 4 and bands <= 64
+
+
 def test_text_ops(docs_df):
     tc = {r["doc_id"]: r["n_tokens"] for r in text_ops.token_count(docs_df).collect()}
     assert tc[0] == 9
