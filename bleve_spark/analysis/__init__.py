@@ -269,9 +269,11 @@ from .snowball import (  # noqa: E402
     register_nl_analyzer,
     register_snowball_analyzers,
 )
+from .snowball_ext import register_ext_snowball_analyzers  # noqa: E402
 
 register_language_analyzers()
 register_extended_analyzers()
 register_hr_analyzer()
 register_snowball_analyzers()
 register_nl_analyzer()
+register_ext_snowball_analyzers()
