@@ -778,14 +778,57 @@ FROM documents
 """
 
 
-# -- multimodal plumbing (deterministic fake decode; rows-only) -------------
+# -- multimodal plumbing (deterministic fake decode; DuckDB-oracled) --------
 
 
 def _q_multimodal_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, n=64)
-    return multimodal.extract_features(media, decode_mode="fake").select(
-        "media_id", "kind", "payload_sha256", "n_bytes"
+    feats = multimodal.extract_features(media, decode_mode="fake")
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_sha256",
+        "n_bytes",
+        # exact float32 on both sides: the oracle casts its recomputed
+        # uint16/65535 to REAL, which is bit-identical to the numpy
+        # float32 the UDF produced — no rounding epsilon to manage
+        F.col("feature").alias("feature_r"),
     )
+
+
+def _sql_multimodal_features() -> str:
+    """Independent DuckDB recomputation of the fake-decode contract:
+    the synthetic payloads (printable ASCII, deterministic seed) are
+    embedded as VARCHAR literals; DuckDB recomputes sha256, byte
+    length, and the sha256-derived 16-dim feature (consecutive
+    little-endian uint16 pairs of the digest / 65535) from scratch."""
+    rows = multimodal.synthesize_media_rows(n=64)
+    values = ",\n".join(
+        "({}, '{}', '{}')".format(
+            media_id, kind, payload.decode("ascii").replace("'", "''")
+        )
+        for media_id, kind, _m, _w, _h, _d, payload in rows
+    )
+    feat_elems = ",".join(
+        "cast(cast(concat('0x', substr(h, {}, 2), substr(h, {}, 2)) "
+        "AS INTEGER) / cast(65535.0 AS REAL) AS REAL)".format(
+            4 * i + 3, 4 * i + 1
+        )
+        for i in range(multimodal.FEATURE_DIM)
+    )
+    return f"""
+WITH media(media_id, kind, payload) AS (VALUES
+{values}
+),
+hashed AS (
+  SELECT media_id, kind, sha256(payload) AS h,
+         length(payload) AS n_bytes
+  FROM media
+)
+SELECT media_id, kind, h AS payload_sha256, n_bytes,
+       [{feat_elems}] AS feature_r
+FROM hashed
+"""
 
 
 # -- round-1 late additions: WAND top-k, multi-phrase, keyset paging,
@@ -880,8 +923,9 @@ SELECT doc_id, pos FROM toks WHERE term='spark'
 
 
 def _q_ft_highlight(spark, sf_dir):
-    """Highlight fragments for the top hits (rows-only: fragment layout
-    has no SQL equivalent)."""
+    """Highlight fragments for the top hits; the DuckDB oracle
+    re-derives the simple-fragmenter windows, covered-location markup
+    and html escaping from the stored text with SQL string ops."""
     from bleve_spark import HighlightRequest
 
     s = _searcher(spark, sf_dir)
@@ -898,6 +942,79 @@ def _q_ft_highlight(spark, sf_dir):
     )
 
 
+def _ESC(expr: str) -> str:
+    # html.escape(quote=False) ordering: & first, then < and >
+    return (
+        f"replace(replace(replace({expr}, '&', '&amp;'), "
+        f"'<', '&lt;'), '>', '&gt;')"
+    )
+
+
+_SQL_FT_HIGHLIGHT = f"""
+WITH {_TOKS}, {_TF}, {_DFREQ}, {_NN},
+top10 AS (
+  SELECT t.doc_id AS doc_id
+  FROM tf t, dfreq, nn
+  WHERE t.term='spark' AND dfreq.term='spark'
+  ORDER BY {R4("sqrt(t.tf) * cast(1.0/sqrt(t.dl) AS real) * (1.0 + ln(nn.n/(dfreq.df+1.0)))")} DESC,
+           cast(t.doc_id AS varchar) LIMIT 10
+),
+-- whitespace_lower token character offsets of the query term
+locs AS (
+  SELECT d.doc_id, d.text,
+    [ {{'s': CASE WHEN i=1 THEN 0
+              ELSE length(array_to_string(l[1:i-1],' '))+1 END,
+       'e': (CASE WHEN i=1 THEN 0
+             ELSE length(array_to_string(l[1:i-1],' '))+1 END)
+            + length(l[i])}}
+      for i in range(1, len(l)+1) if lower(l[i])='spark' ] AS L
+  FROM (SELECT doc_id, text, string_split(text,' ') AS l
+        FROM documents JOIN top10 USING (doc_id)) d
+),
+-- one candidate window per location (simple fragmenter, size 200)
+cand AS (
+  SELECT doc_id, text, L, unnest(L) AS loc FROM locs
+),
+cwin AS (
+  SELECT doc_id, text, L,
+         greatest(0, loc.s - greatest((200 - (loc.e - loc.s)) // 2, 0))
+           AS start0
+  FROM cand
+),
+cwin2 AS (
+  SELECT *, least(length(text), start0 + 200) AS e1 FROM cwin
+),
+cwin3 AS (
+  SELECT *, CASE WHEN e1 - 200 > 0
+                 THEN greatest(0, least(start0, e1 - 200))
+                 ELSE 0 END AS s1
+  FROM cwin2
+),
+scored AS (
+  SELECT doc_id, text, s1, e1,
+         [x for x in L if x.s >= s1 AND x.e <= e1] AS covered
+  FROM cwin3
+),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY len(covered) DESC, s1 ASC
+  ) AS rn
+  FROM scored
+)
+SELECT doc_id,
+  (CASE WHEN s1 > 0 THEN '…' ELSE '' END)
+  || array_to_string(
+       [ {_ESC("substr(text, (CASE WHEN i=1 THEN s1 ELSE covered[i-1].e END)+1, covered[i].s - (CASE WHEN i=1 THEN s1 ELSE covered[i-1].e END))")}
+         || '<mark>'
+         || {_ESC("substr(text, covered[i].s+1, covered[i].e-covered[i].s)")}
+         || '</mark>'
+         for i in range(1, len(covered)+1) ], '')
+  || {_ESC("substr(text, covered[len(covered)].e+1, e1 - covered[len(covered)].e)")}
+  || (CASE WHEN e1 < length(text) THEN '…' ELSE '' END) AS fragment
+FROM best WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -905,7 +1022,7 @@ _REGISTRY: dict[str, tuple] = {
     "ft_multi_phrase": (_q_ft_multi_phrase, _SQL_FT_MULTI_PHRASE),
     "ft_search_after": (_q_ft_search_after, _SQL_FT_SEARCH_AFTER),
     "ft_locations": (_q_ft_locations, _SQL_FT_LOCATIONS),
-    "ft_highlight": (_q_ft_highlight, None),
+    "ft_highlight": (_q_ft_highlight, _SQL_FT_HIGHLIGHT),
     "ft_term_tfidf": (_q_ft_term_tfidf, _SQL_FT_TERM_TFIDF),
     "ft_term_bm25": (_q_ft_term_bm25, _SQL_FT_TERM_BM25),
     "ft_bool_conj": (_q_ft_bool_conj, _SQL_FT_BOOL),
@@ -934,7 +1051,7 @@ _REGISTRY: dict[str, tuple] = {
     "text_quality": (_q_text_quality, _SQL_QUALITY),
     "text_langid": (_q_text_langid, _SQL_LANGID),
     "text_fingerprint": (_q_text_fingerprint, _SQL_FINGERPRINT),
-    "multimodal_features": (_q_multimodal_features, None),
+    "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
 }
 
 

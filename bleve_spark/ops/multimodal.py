@@ -91,16 +91,19 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
+def synthesize_media_rows(n: int = 64, seed: int = 42) -> list:
+    """Deterministic fake media rows (pure Python — reusable by the
+    DuckDB oracle without a SparkSession). Payload bytes are printable
+    ASCII so an independent SQL engine can recompute sha256/length over
+    the same content as VARCHAR (DuckDB 1.0 hashes VARCHAR only)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    # Row tuples, not pd.DataFrame: pandas promotes None-bearing int columns
-    # (width/height/duration_ms) to float64, which IntegerType rejects.
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8)
+        payload = rng.integers(
+            0x20, 0x7F, size=64 + (i % 5) * 32, dtype=np.uint8
+        )
         rows.append(
             (
                 i,
@@ -112,4 +115,13 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 payload.tobytes(),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    # Row tuples, not pd.DataFrame: pandas promotes None-bearing int columns
+    # (width/height/duration_ms) to float64, which IntegerType rejects.
+    return spark.createDataFrame(
+        synthesize_media_rows(n, seed), MEDIA_SCHEMA
+    )
