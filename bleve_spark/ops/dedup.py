@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from .util import r4
+from .util import ensure_parallelism, r4
 
 
 def exact_groups(df: DataFrame, text: str = "text") -> DataFrame:
@@ -50,7 +50,7 @@ def _shingles(text_col: Column, k: int) -> Column:
 
 def shingle_sets(df: DataFrame, text: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct rows + per-doc set size."""
-    sh = df.select(
+    sh = ensure_parallelism(df.select("doc_id", text)).select(
         "doc_id", F.explode(_shingles(F.col(text), k)).alias("shingle")
     )
     return sh
@@ -135,20 +135,33 @@ def minhash_signatures(
     df: DataFrame, text: str = "text", k: int = 3, n_hashes: int = 16
 ) -> DataFrame:
     """(doc_id, h (hash index), minhash): minhash_j = min over shingles of
-    md5(j:shingle) — md5-keyed so any SQL engine reproduces it."""
+    md5(j:shingle) — md5-keyed so any SQL engine reproduces it.
+
+    Computed as n_hashes min-aggregates over ONE pass of the shingle
+    rows (map-side partial min per aggregate), instead of exploding
+    every shingle x n_hashes into the shuffle: shuffle volume is
+    docs x n_hashes partial minima, not shingles x n_hashes rows. The
+    md5 inputs are identical to the old explode formulation, so
+    signatures (and the DuckDB oracle) are unchanged."""
     sh = shingle_sets(df, text, k)
-    hashes = F.explode(
-        F.array(*[F.lit(j) for j in range(n_hashes)])
-    ).alias("h")
-    return (
-        sh.select("doc_id", "shingle", hashes)
-        .groupBy("doc_id", "h")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(j), F.col("shingle")))
+        ).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("h"), F.col(f"mh{j}").alias("minhash")
+            )
+            for j in range(n_hashes)
+        ]
     )
+    return wide.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.h", "p.minhash")
 
 
 def minhash_lsh_pairs(
@@ -216,23 +229,36 @@ def simhash64(df: DataFrame, text: str = "text") -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            acc = np.zeros(64, dtype=np.int64)
-            toks = t.split(" ") if t else []
-            if not toks:
-                out.append(0)
-                continue
-            uniq, counts = np.unique(toks, return_counts=True)
-            for tok, c in zip(uniq, counts):
-                digest = hashlib.md5(tok.encode()).digest()[:8]
-                bits = np.unpackbits(np.frombuffer(digest, np.uint8))
-                acc += np.where(bits == 1, c, -c)
-            sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        # vectorized per Arrow batch: the batch's token VOCABULARY is
+        # md5-hashed once (each distinct token, once per batch — not
+        # once per doc), then tf-weighted accumulation is one
+        # np.add.at over (token -> ±1 bit matrix) rows
+        tok_lists = [t.split(" ") if t else [] for t in texts]
+        n_docs = len(tok_lists)
+        doc_lens = np.array([len(x) for x in tok_lists], dtype=np.int64)
+        if doc_lens.sum() == 0:
+            return pd.Series(np.zeros(n_docs, dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in tok_lists if x]
+        )
+        vocab, inv = np.unique(flat, return_inverse=True)
+        pm1 = np.empty((len(vocab), 64), dtype=np.int32)
+        for vi, tok in enumerate(vocab):
+            digest = hashlib.md5(tok.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest, np.uint8))
+            pm1[vi] = np.where(bits == 1, 1, -1)
+        doc_idx = np.repeat(np.arange(n_docs), doc_lens)
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        np.add.at(acc, doc_idx, pm1[inv])
+        sig_bits = (acc > 0).astype(np.uint64)
+        sigs = (sig_bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        out = sigs.astype(np.int64)  # two's-complement wrap == old path
+        out[doc_lens == 0] = 0
         return pd.Series(out, dtype="int64")
 
-    return df.select("doc_id", simhash_udf(F.col(text)).alias("simhash"))
+    return ensure_parallelism(df.select("doc_id", text)).select(
+        "doc_id", simhash_udf(F.col(text)).alias("simhash")
+    )
 
 
 def simhash_pairs(
