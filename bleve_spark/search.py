@@ -584,6 +584,55 @@ class Searcher:
                     avg_len,
                 ).alias("s"),
             )
+            # exact single-alternative phrases (the hot path: slop=0,
+            # one term per slot) evaluate the position chain entirely
+            # JVM-side: conditional aggregation pivots each slot's
+            # positions/score into columns, then a
+            # transform+array_intersect chain replaces the Arrow UDF —
+            # whole-stage codegen end to end, no Python, no
+            # struct-collect shuffle payload. Hot+hot phrases
+            # ("apache license"-class) are dominated by this stage.
+            if slop == 0 and all(len(alts) == 1 for alts, _p in slots):
+                aggs = []
+                for i in range(nslots):
+                    aggs.append(
+                        F.first(
+                            F.when(F.col("slot") == i, F.col("positions")),
+                            ignorenulls=True,
+                        ).alias(f"p{i}")
+                    )
+                    aggs.append(
+                        F.sum(
+                            F.when(F.col("slot") == i, F.col("s"))
+                        ).alias(f"s{i}")
+                    )
+                g = parts.groupBy("docid").agg(*aggs)
+                present_pred = None
+                for i in range(nslots):
+                    c = F.col(f"p{i}").isNotNull()
+                    present_pred = c if present_pred is None else (
+                        present_pred & c
+                    )
+                g = g.where(present_pred)
+                def _shift(col, d):
+                    # NB: a 2-parameter lambda would be treated as the
+                    # (element, index) form by F.transform
+                    return F.transform(col, lambda x: x + F.lit(d))
+
+                reach = F.col("p0")
+                for i in range(1, nslots):
+                    reach = F.array_intersect(
+                        _shift(reach, deltas[i - 1]), F.col(f"p{i}")
+                    )
+                score = None
+                for i in range(nslots):
+                    score = F.col(f"s{i}") if score is None else (
+                        score + F.col(f"s{i}")
+                    )
+                return (
+                    g.where(F.size(reach) > 0)
+                    .select("docid", score.alias("score"))
+                )
             g = parts.groupBy("docid").agg(
                 F.collect_list(
                     F.struct("slot", "nalts", "positions", "s")
