@@ -52,26 +52,73 @@ def _fake_feature(payload: bytes) -> np.ndarray:
     )
 
 
+class MediaDecoder:
+    """Pluggable decode->embed adapter. Implementations map one payload
+    to a FEATURE_DIM float32 vector; the Spark plumbing (Arrow batches,
+    schema, partition preservation) is shared and already tested.
+
+    Register codec-backed decoders per kind, e.g.::
+
+        class PILImageDecoder(MediaDecoder):
+            def features(self, kind, mime, payload):
+                img = PIL.Image.open(io.BytesIO(payload))  # real decode
+                return embed(img)
+
+        extract_features(media, decoder=PILImageDecoder())
+
+    The instance is pickled to executors once per task (keep it
+    stateless or lazily-initialized)."""
+
+    def features(self, kind: str, mime: str, payload: bytes) -> np.ndarray:
+        raise NotImplementedError
+
+
+class FakeDecoder(MediaDecoder):
+    """Deterministic stand-in (sha256-derived features) — the decoder
+    used when codec libraries are unavailable; the feature contract is
+    DuckDB-oracled by the driver gate."""
+
+    def features(self, kind: str, mime: str, payload: bytes) -> np.ndarray:
+        return _fake_feature(payload)
+
+
+class UnavailableDecoder(MediaDecoder):
+    """Raises with guidance — codec libraries are not present in this
+    environment. Swap in a MediaDecoder implementation to go real."""
+
+    def features(self, kind: str, mime: str, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "real media decode requires image/audio codec libraries not "
+            "present in this environment; implement MediaDecoder."
+            "features() and pass extract_features(decoder=...)"
+        )
+
+
 def extract_features(
-    media: DataFrame, decode_mode: str = "fake", batch_hint: int = 256
+    media: DataFrame,
+    decode_mode: str = "fake",
+    batch_hint: int = 256,
+    decoder: MediaDecoder = None,
 ) -> DataFrame:
     """media table -> per-item features via mapInPandas (Arrow batches,
     partition-preserving: no shuffle; co-locate by partitioning the media
-    table on media_id ranges upstream)."""
-    if decode_mode not in ("fake", "real"):
-        raise ValueError("decode_mode must be 'fake' or 'real'")
+    table on media_id ranges upstream). `decoder` plugs in a real
+    decode->embed implementation; decode_mode picks a default
+    ("fake" = FakeDecoder, "real" = UnavailableDecoder placeholder)."""
+    if decoder is None:
+        if decode_mode not in ("fake", "real"):
+            raise ValueError("decode_mode must be 'fake' or 'real'")
+        decoder = (
+            FakeDecoder() if decode_mode == "fake" else UnavailableDecoder()
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "real media decode requires image/audio codec libraries "
-                    "not present in this environment; plug a decoder into "
-                    "extract_features(decode_mode='real')"
-                )
             feats = [
-                _fake_feature(p if p is not None else b"")
-                for p in pdf["payload"]
+                decoder.features(k, m, p if p is not None else b"")
+                for k, m, p in zip(
+                    pdf["kind"], pdf["mime"], pdf["payload"]
+                )
             ]
             yield pd.DataFrame(
                 {

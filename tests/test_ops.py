@@ -189,6 +189,29 @@ def test_multimodal_plumbing(spark):
         multimodal.extract_features(media, decode_mode="real").collect()
 
 
+def test_multimodal_pluggable_decoder(spark):
+    """A custom MediaDecoder rides the same Arrow plumbing — the
+    adapter seam a codec-backed implementation plugs into."""
+
+    class KindLengthDecoder(multimodal.MediaDecoder):
+        def features(self, kind, mime, payload):
+            v = np.zeros(multimodal.FEATURE_DIM, dtype=np.float32)
+            v[0] = float(len(payload))
+            v[1] = {"image": 1.0, "audio": 2.0, "video": 3.0}[kind]
+            return v
+
+    media = multimodal.synthesize_media(spark, n=6)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            media, decoder=KindLengthDecoder()
+        ).collect()
+    }
+    assert out[0]["feature"][0] == out[0]["n_bytes"]
+    assert out[1]["feature"][1] == 2.0  # media 1 is audio
+    assert out[3]["kind"] == "image" and out[3]["feature"][1] == 1.0
+
+
 def test_ngram_jaccard_hot_shingle_cap(spark):
     """Shingles over max_shingle_df are excluded from candidate
     generation (quadratic-blowup guard) but still count toward the
