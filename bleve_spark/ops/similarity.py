@@ -128,6 +128,109 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def lsh_bucket_tables(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: n_tables independent hyperplane sets, one
+    bucket id per table (array column). One Arrow-batched matrix
+    multiply computes all tables at once."""
+    planes = np.concatenate(
+        [
+            _hyperplanes(dim, n_planes, seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+    )  # (n_tables*n_planes, dim)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = ((m @ planes.T) > 0).reshape(len(m), n_tables, n_planes)
+        vals = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
+        return pd.Series(vals.astype(np.int32).tolist())
+
+    return df.withColumn("buckets", buckets_udf(F.col(vec_col)))
+
+
+def _query_buckets(
+    query_vec, n_tables: int, n_planes: int, seed: int
+) -> List[int]:
+    q = np.asarray(query_vec, dtype=float)
+    out = []
+    for t in range(n_tables):
+        planes = _hyperplanes(len(q), n_planes, seed + 1000 * t)
+        bits = (planes @ q) > 0
+        out.append(
+            int((bits.astype(np.int64) << np.arange(n_planes)).sum())
+        )
+    return out
+
+
+def lsh_candidates_tables(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    n_tables: int = 4,
+    n_planes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Union-of-tables multi-probe candidate filter: a row is a
+    candidate if ANY table's bucket is within probe_hamming bits of the
+    query's bucket in that table. Multi-table OR-construction lifts
+    recall exponentially in n_tables (1-(1-p_table)^T) while the
+    per-table scan fraction stays sum_{i<=h} C(p,i)/2^p — with the
+    16-plane/4-table/probe-2 defaults ~0.8% of the corpus is scored."""
+    dim = len(query_vec)
+    if "buckets" in df.columns:
+        # precomputed at index/ingest time (with lsh_bucket_tables,
+        # same parameters) — the scale path: per-query work is then a
+        # JVM bitcount filter + cosine over the ~1% survivors, with no
+        # per-query pass over the vectors
+        bucketed = df
+    else:
+        bucketed = lsh_bucket_tables(
+            df, dim, n_tables, n_planes, seed, vec_col
+        )
+    qb = _query_buckets(query_vec, n_tables, n_planes, seed)
+    pred = None
+    for t in range(n_tables):
+        c = (
+            F.bit_count(
+                F.element_at(F.col("buckets"), t + 1).bitwiseXOR(
+                    F.lit(qb[t])
+                )
+            )
+            <= probe_hamming
+        )
+        pred = c if pred is None else (pred | c)
+    return bucketed.where(pred).drop("buckets")
+
+
+def lsh_topk_tables(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k over the union of n_tables LSH probes —
+    the high-recall scale path (see BASELINE.md for the measured
+    recall@10 at 10^6 vectors)."""
+    cand = lsh_candidates_tables(
+        df, query_vec, n_tables, n_planes, seed, vec_col, probe_hamming
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_band_keys(
     df: DataFrame,
     dim: int,

@@ -158,20 +158,25 @@ class Searcher:
         similarity: str = scoring.TFIDF,
         wand_min_postings: int = 50_000_000,
         knn_lsh_min_docs: int = 1_000_000,
-        knn_lsh_planes: int = 12,
+        knn_lsh_planes: int = 16,
         knn_lsh_probe: int = 2,
+        knn_lsh_tables: int = 4,
     ):
         self.index = index
         self.similarity = similarity
         # SearchRequest.knn scans the corpus exhaustively below
         # knn_lsh_min_docs (one vectorized pass; exact) and switches to
-        # multi-probe hyperplane-LSH candidate buckets above it —
-        # scanning ~(sum_{i<=probe} C(planes,i))/2^planes of the data.
-        # probe == planes gives exact recall (full scan). Thresholds
-        # documented in BASELINE.md.
+        # multi-table multi-probe hyperplane-LSH candidate buckets
+        # above it — per table scanning
+        # ~(sum_{i<=probe} C(planes,i))/2^planes of the data, with
+        # recall 1-(1-p_table)^tables. Defaults (16 planes x 4 tables,
+        # probe 2) score ~0.8% of the corpus; measured recall@10 at
+        # 10^6 vectors in BASELINE.md. knn_lsh_tables=1 with
+        # probe == planes gives exact recall (full scan).
         self.knn_lsh_min_docs = knn_lsh_min_docs
         self.knn_lsh_planes = knn_lsh_planes
         self.knn_lsh_probe = knn_lsh_probe
+        self.knn_lsh_tables = knn_lsh_tables
         # block-max WAND engages only when the query's summed df clears
         # this floor. Cost model (measured, BASELINE.md): the pruning
         # adds ~2 extra driver jobs (metadata agg + phase-1 theta) worth
@@ -1564,6 +1569,7 @@ class Searcher:
                 self.knn_lsh_min_docs,
                 self.knn_lsh_planes,
                 self.knn_lsh_probe,
+                self.knn_lsh_tables,
             ).search(req)
         scored = None
         score_first_sort = (
@@ -1589,17 +1595,31 @@ class Searcher:
             # multi-probe LSH buckets instead of a full corpus scan
             # (the wand_min_postings cost-model pattern: the bucket
             # UDF pass only pays off once the corpus dwarfs it)
-            from .ops.similarity import cosine_to_query, lsh_candidates
+            from .ops.similarity import (
+                cosine_to_query,
+                lsh_candidates,
+                lsh_candidates_tables,
+            )
 
             cand = self.index.docs
             if self.index.doc_count >= self.knn_lsh_min_docs:
-                cand = lsh_candidates(
-                    cand,
-                    kr.vector,
-                    n_planes=self.knn_lsh_planes,
-                    probe_hamming=self.knn_lsh_probe,
-                    vec_col=kr.field,
-                )
+                if self.knn_lsh_tables > 1:
+                    cand = lsh_candidates_tables(
+                        cand,
+                        kr.vector,
+                        n_tables=self.knn_lsh_tables,
+                        n_planes=self.knn_lsh_planes,
+                        probe_hamming=self.knn_lsh_probe,
+                        vec_col=kr.field,
+                    )
+                else:
+                    cand = lsh_candidates(
+                        cand,
+                        kr.vector,
+                        n_planes=self.knn_lsh_planes,
+                        probe_hamming=self.knn_lsh_probe,
+                        vec_col=kr.field,
+                    )
             knn_scored = (
                 cosine_to_query(cand, kr.vector, kr.field)
                 .select(

@@ -88,6 +88,33 @@ def test_knn_brute_vs_lsh(spark):
     assert withself[0]["vec_id"] == 0 and withself[0]["cos_r"] == 1.0
 
 
+def test_lsh_topk_tables_parity(spark):
+    """Multi-table LSH at probe == planes degenerates to a full scan in
+    every table -> identical to brute force; at default probe it is a
+    subset whose members keep exact scores."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((400, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": range(400), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = vecs[5] + 0.05 * rng.standard_normal(16)
+    exact = similarity.brute_force_topk(df, q, k=5).collect()
+    full = similarity.lsh_topk_tables(
+        df, q, k=5, n_tables=3, n_planes=8, probe_hamming=8
+    ).collect()
+    assert [(r["vec_id"], r["cos_r"]) for r in full] == [
+        (r["vec_id"], r["cos_r"]) for r in exact
+    ]
+    approx = similarity.lsh_topk_tables(df, q, k=5).collect()
+    exact_scores = {r["vec_id"]: r["cos_r"] for r in exact}
+    for r in approx:
+        if r["vec_id"] in exact_scores:
+            assert r["cos_r"] == exact_scores[r["vec_id"]]
+    # the planted near-dup of the query is always recalled
+    assert approx and approx[0]["vec_id"] == 5
+
+
 def test_all_pairs_above_full_recall(spark):
     """Banded LSH candidates + exact cosine filter == brute-force all
     pairs at test scale (precision exact by construction; recall from
