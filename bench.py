@@ -147,6 +147,60 @@ def build_at(master_n: int, corpus_n: int = CORPUS_N) -> dict:
     )
 
 
+def jvm_shuffle_inprocess(master_n: int) -> float:
+    """Pure-JVM build-shaped control job: wide hash + shuffle + partial
+    agg, zero Python workers, whole-stage codegen end to end. Its N->4N
+    efficiency is the HOST's Spark-shuffle scaling ceiling — any build
+    efficiency at or above it means the pipeline itself scales."""
+    from pyspark.sql import functions as F
+
+    from bleve_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{master_n}]", app_name=f"jvmprobe{master_n}"
+    )
+    spark.range(0, 60_000_000, 1, master_n * 4).count()  # warm
+    t0 = time.time()
+    (
+        spark.range(0, 60_000_000, 1, master_n * 4)
+        .select(
+            (F.col("id") % 1_000_000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.min("h").alias("m"), F.count("*").alias("c"))
+        .select(F.sum(F.length("m") + F.col("c")).alias("s"))
+        .collect()
+    )
+    return time.time() - t0
+
+
+def jvm_control_at(master_n: int) -> float:
+    """jvm_shuffle_inprocess in a fresh pinned subprocess (same
+    protocol as build_at)."""
+    import shutil as _shutil
+    import subprocess
+
+    code = (
+        "import json, bench; "
+        "print('BENCHRESULT ' + json.dumps("
+        f"bench.jvm_shuffle_inprocess({master_n})))"
+    )
+    argv = [sys.executable, "-c", code]
+    ncpu = os.cpu_count() or master_n
+    if _shutil.which("taskset") and master_n <= ncpu:
+        argv = ["taskset", "-c", f"0-{master_n - 1}"] + argv
+    proc = subprocess.run(
+        argv, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=os.environ, timeout=900,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCHRESULT "):
+            return json.loads(line[len("BENCHRESULT "):])
+    raise RuntimeError(proc.stderr[-1500:])
+
+
 def measure_core_slowdown(n_busy: int) -> float:
     """Per-core Python throughput penalty when n_busy cores are loaded vs
     idle, measured with a fixed single-core loop. On a single shared host,
@@ -282,7 +336,9 @@ def run_queries(spark) -> dict:
     # ops over the driver's sf tables
     import __spark_entry__ as entrymod
 
-    for name in ("dedup_minhash_lsh", "knn_cosine", "text_quality"):
+    for name in (
+        "dedup_minhash_lsh", "dedup_simhash", "knn_cosine", "text_quality"
+    ):
         fn = entrymod.queries()[name]
         out[f"op_{name}"] = timed(lambda: fn(spark, SF_DIR).collect(), reps=3)
     return out
@@ -335,6 +391,18 @@ def main():
     except Exception:
         slowdown = 1.0
     log("per-core slowdown at full load:", slowdown)
+    # pure-JVM scaling control (interleaved best-of-2 pairs): the
+    # host's own Spark-shuffle scaling ceiling at these levels
+    jvm_effs = []
+    try:
+        for _ in range(2):
+            jl = jvm_control_at(N_LOW)
+            jh = jvm_control_at(N_HIGH)
+            jvm_effs.append(jl / (ratio * jh))
+            log(f"jvm control: low {jl:.2f}s high {jh:.2f}s "
+                f"eff {jvm_effs[-1]:.3f}")
+    except Exception as exc:
+        log("jvm control failed:", exc)
 
     from bleve_spark.session import get_spark
 
@@ -362,6 +430,15 @@ def main():
             "core_slowdown_factor": slowdown,
             "scaling_efficiency_hw_adjusted": round(
                 min(eff * slowdown, 1.0), 3
+            ),
+            # host ceiling: pure-JVM shuffle control at the same levels
+            "jvm_control_efficiency": (
+                round(max(jvm_effs), 3) if jvm_effs else None
+            ),
+            "scaling_efficiency_vs_jvm_control": (
+                round(min(eff / max(jvm_effs), 1.0), 3)
+                if jvm_effs and max(jvm_effs) > 0
+                else None
             ),
         },
     }
