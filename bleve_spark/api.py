@@ -158,6 +158,10 @@ class Index:
         d = rows[0].asDict(recursive=True)
         d.pop("docid", None)
         d.pop("_idh", None)
+        # build-time helper columns (geoshape bbox prefilter, vector
+        # LSH buckets) are index internals, not stored fields
+        for k in [k for k in d if k.endswith(("__bbox", "__buckets"))]:
+            d.pop(k)
         return d
 
     def fields(self) -> List[str]:

@@ -443,6 +443,23 @@ class IndexBuilder:
                     sel = sel.withColumn(
                         f"{fm.name}__bbox", _shape_bbox_udf(src_col)
                     )
+                # vector fields get a precomputed multi-table LSH
+                # bucket column — the kNN route's native prefilter: at
+                # query time candidate selection is a JVM bitcount
+                # filter over these ints instead of a per-query matmul
+                # pass over every vector (BASELINE.md round-3 study)
+                if fm.type == "vector" and fm.name in sel.columns:
+                    from .ops.similarity import lsh_bucket_tables
+
+                    first = corpus.select(
+                        F.size(F.col(fm.name)).alias("d")
+                    ).first()
+                    if first is not None and first["d"] is not None:
+                        sel = lsh_bucket_tables(
+                            sel, int(first["d"]), vec_col=fm.name
+                        ).withColumnRenamed(
+                            "buckets", f"{fm.name}__buckets"
+                        )
             self._write(sel, "docs")
             self._mark_stage("docs", fingerprint)
             report.add("docs", _parquet_rows(self._stage_dir("docs")), (time.time() - t0) * 1e3)

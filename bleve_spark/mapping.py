@@ -19,7 +19,10 @@ class FieldMapping:
     """ref: mapping/field.go:40-80."""
 
     name: str
-    type: str = "text"  # text | keyword | numeric | datetime | boolean
+    # text | keyword | numeric | datetime | boolean | geoshape | vector
+    # (vector: array<float> column; the builder persists a multi-table
+    # LSH bucket column the kNN route prefilters with)
+    type: str = "text"
     analyzer: Optional[str] = None  # None -> IndexMapping.default_analyzer
     index: bool = True
     store: bool = True

@@ -128,12 +128,19 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+# shared defaults: ingest-time bucket columns (build.py vector fields)
+# and query-time probes must agree on these to interoperate
+LSH_N_TABLES = 4
+LSH_N_PLANES = 16
+LSH_SEED = 7
+
+
 def lsh_bucket_tables(
     df: DataFrame,
     dim: int,
-    n_tables: int = 4,
-    n_planes: int = 16,
-    seed: int = 7,
+    n_tables: int = LSH_N_TABLES,
+    n_planes: int = LSH_N_PLANES,
+    seed: int = LSH_SEED,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Multi-table LSH: n_tables independent hyperplane sets, one
@@ -173,9 +180,9 @@ def _query_buckets(
 def lsh_candidates_tables(
     df: DataFrame,
     query_vec: Sequence[float],
-    n_tables: int = 4,
-    n_planes: int = 16,
-    seed: int = 7,
+    n_tables: int = LSH_N_TABLES,
+    n_planes: int = LSH_N_PLANES,
+    seed: int = LSH_SEED,
     vec_col: str = "embedding",
     probe_hamming: int = 2,
 ) -> DataFrame:
@@ -215,9 +222,9 @@ def lsh_topk_tables(
     df: DataFrame,
     query_vec: Sequence[float],
     k: int = 10,
-    n_tables: int = 4,
-    n_planes: int = 16,
-    seed: int = 7,
+    n_tables: int = LSH_N_TABLES,
+    n_planes: int = LSH_N_PLANES,
+    seed: int = LSH_SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 2,

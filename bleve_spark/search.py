@@ -1596,6 +1596,8 @@ class Searcher:
             # (the wand_min_postings cost-model pattern: the bucket
             # UDF pass only pays off once the corpus dwarfs it)
             from .ops.similarity import (
+                LSH_N_PLANES,
+                LSH_N_TABLES,
                 cosine_to_query,
                 lsh_candidates,
                 lsh_candidates_tables,
@@ -1604,8 +1606,20 @@ class Searcher:
             cand = self.index.docs
             if self.index.doc_count >= self.knn_lsh_min_docs:
                 if self.knn_lsh_tables > 1:
+                    pre = f"{kr.field}__buckets"
+                    src = cand
+                    if (
+                        pre in cand.columns
+                        and self.knn_lsh_tables == LSH_N_TABLES
+                        and self.knn_lsh_planes == LSH_N_PLANES
+                    ):
+                        # vector-mapped field: buckets were persisted
+                        # at build time — candidate selection is a
+                        # pure-JVM bitcount filter, no per-query
+                        # matmul over the corpus
+                        src = cand.withColumnRenamed(pre, "buckets")
                     cand = lsh_candidates_tables(
-                        cand,
+                        src,
                         kr.vector,
                         n_tables=self.knn_lsh_tables,
                         n_planes=self.knn_lsh_planes,

@@ -233,3 +233,69 @@ def test_faceted_search_releases_cache(built_index):
     assert n_cached() == before
     assert res.facets["lang"].count() >= 0
     assert res.hits.count() >= 0
+
+
+# -- vector fields: build-time LSH buckets ---------------------------------
+
+
+def test_vector_field_persisted_buckets(spark):
+    """A vector-mapped field gets a multi-table LSH bucket column at
+    build time; the kNN scale route then prefilters with a pure-JVM
+    bitcount expression (no Python eval in the candidate plan) and
+    returns the same top-k as the brute-force route."""
+    import numpy as np
+
+    from bleve_spark import IndexBuilder, Searcher
+    from bleve_spark.index import SearchIndex
+    from bleve_spark.search import KNNRequest, SearchRequest
+    from bleve_spark.query import parse_query
+
+    path = "/tmp/bleve_spark_vector_test_index"
+    shutil.rmtree(path, ignore_errors=True)
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 8))
+    rows = [
+        (str(i), f"doc {i}", [float(x) for x in vecs[i]])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["_id", "body", "embedding"])
+    mapping = IndexMapping(
+        fields={
+            "body": FieldMapping(name="body", type="text"),
+            "embedding": FieldMapping(name="embedding", type="vector"),
+        }
+    )
+    IndexBuilder(spark, mapping, path).build(df, id_expr=F.col("_id"))
+    idx = SearchIndex(spark, path, mapping)
+    assert "embedding__buckets" in idx.docs.columns
+
+    q = [float(x) for x in vecs[7]]
+
+    def req():
+        return SearchRequest(
+            query=parse_query({"term": "doc", "field": "body"}),
+            knn=[KNNRequest(field="embedding", vector=q, k=3)],
+        )
+    brute = Searcher(idx).search(req())
+    lsh = Searcher(idx, knn_lsh_min_docs=0, knn_lsh_probe=16).search(
+        req()
+    )  # probe == planes -> full recall, exercises the bucket route
+    bt = [(r["_id"], round(r["score"], 5)) for r in brute.hits.collect()]
+    lt = [(r["_id"], round(r["score"], 5)) for r in lsh.hits.collect()]
+    assert bt == lt
+
+    # the precomputed-bucket candidate plan is JVM-only
+    from bleve_spark.ops.similarity import lsh_candidates_tables
+
+    pre = idx.docs.withColumnRenamed("embedding__buckets", "buckets")
+    plan = lsh_candidates_tables(
+        pre, q, vec_col="embedding"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+    # internal helper column is not exposed by document()
+    from bleve_spark import Index
+
+    doc = Index(spark, path, mapping).document("7")
+    assert doc is not None and "embedding__buckets" not in doc
+    shutil.rmtree(path, ignore_errors=True)
