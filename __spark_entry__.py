@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from bleve_spark import (
     IndexBuilder,
+    KNNRequest,
     SearchIndex,
     Searcher,
     SearchRequest,
@@ -711,6 +712,67 @@ def _q_knn_lsh(spark, sf_dir):
     )
 
 
+_VEC_INDEXES: dict = {}
+
+
+def _vec_index(spark, sf_dir):
+    """Index over the embeddings table with a vector-mapped field —
+    the builder persists multi-table LSH bucket columns; the kNN route
+    prefilters on them (pure JVM, no per-query matmul)."""
+    from bleve_spark.mapping import FieldMapping, IndexMapping
+
+    if sf_dir in _VEC_INDEXES:
+        return _VEC_INDEXES[sf_dir]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/bleve_spark_entry/vec_{key}"
+    mapping = IndexMapping(
+        fields={
+            "embedding": FieldMapping(name="embedding", type="vector")
+        },
+        dynamic=False,
+    )
+    emb = _load(spark, sf_dir, "embeddings")
+    IndexBuilder(spark, mapping, path).build(
+        emb,
+        id_expr=F.col("vec_id").cast("string"),
+        fingerprint=f"{sf_dir}:vec:{emb.count()}",
+    )
+    idx = SearchIndex(spark, path, mapping)
+    _VEC_INDEXES[sf_dir] = idx
+    return idx
+
+
+def _q_knn_vector_field(spark, sf_dir):
+    """SearchRequest.knn over a vector-mapped index: candidates come
+    from the PERSISTED `embedding__buckets` column (probe == planes =>
+    full recall, so the DuckDB cosine top-k is an exact oracle while
+    the plan still exercises the bucket-prefilter route)."""
+    idx = _vec_index(spark, sf_dir)
+    s = Searcher(
+        idx, knn_lsh_min_docs=0, knn_lsh_probe=16, knn_lsh_tables=4
+    )
+    res = s.search(
+        SearchRequest(
+            query=Q.MatchNoneQuery(),
+            knn=[
+                KNNRequest(
+                    field="embedding",
+                    vector=_query_vec(spark, sf_dir),
+                    k=11,
+                )
+            ],
+            size=11,
+            fields=("vec_id",),
+        )
+    )
+    return (
+        res.hits.where(F.col("vec_id") != 0)
+        .select("vec_id", r4(F.col("score")).alias("cos_r"))
+        .orderBy(F.desc("cos_r"), "vec_id")
+        .limit(10)
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 
@@ -1046,6 +1108,7 @@ _REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (_q_dedup_simhash, None),
     "knn_cosine": (_q_knn_cosine, _SQL_KNN),
     "knn_lsh": (_q_knn_lsh, None),
+    "knn_vector_field": (_q_knn_vector_field, _SQL_KNN),
     "emb_neardup": (_q_emb_neardup, _SQL_EMB_NEARDUP),
     "text_token_count": (_q_text_token_count, _SQL_TOKEN_COUNT),
     "text_quality": (_q_text_quality, _SQL_QUALITY),

@@ -17,6 +17,7 @@ from .mapping import FieldMapping, IndexMapping, code_corpus_mapping, documents_
 from .query import parse_query
 from .search import (
     FacetRequest,
+    KNNRequest,
     Searcher,
     SearchRequest,
     TooManyClausesError,
