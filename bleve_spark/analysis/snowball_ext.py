@@ -17,6 +17,7 @@ U+0163) as the reference-era Snowball sources do; comma-below forms
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional, Sequence
 
 from .tokenizers import Token
@@ -664,14 +665,23 @@ def _tr_variants(template: str) -> List[str]:
     return outs
 
 
+@lru_cache(maxsize=None)
+def _tr_expansions(templates: tuple) -> tuple:
+    """Sorted archiphoneme expansions, computed once per template set
+    (the stemmer runs per token inside the analyzer UDF — rebuilding
+    and re-sorting these lists per call is pure repeated work)."""
+    cands: List[str] = []
+    for t in templates:
+        cands.extend(_tr_variants(t))
+    cands.sort(key=len, reverse=True)
+    return tuple(cands)
+
+
 def _tr_try(word: str, templates: Sequence[str],
             buffer: str = "") -> Optional[str]:
     """Try every expansion of every template (longest first); with a
     buffer letter, apply the optional-consonant rule."""
-    cands = []
-    for t in templates:
-        cands.extend(_tr_variants(t))
-    cands.sort(key=len, reverse=True)
+    cands = _tr_expansions(tuple(templates))
     for c in cands:
         if buffer:
             stem = _tr_strip_optional(word, buffer, c)

@@ -159,9 +159,14 @@ class Index:
         d.pop("docid", None)
         d.pop("_idh", None)
         # build-time helper columns (geoshape bbox prefilter, vector
-        # LSH buckets) are index internals, not stored fields
-        for k in [k for k in d if k.endswith(("__bbox", "__buckets"))]:
-            d.pop(k)
+        # LSH buckets) are index internals, not stored fields — only
+        # strip the names OUR builder derives, never same-suffixed
+        # user columns
+        for fm in self.mapping.fields.values():
+            if fm.type == "geoshape":
+                d.pop(f"{fm.name}__bbox", None)
+            elif fm.type == "vector":
+                d.pop(f"{fm.name}__buckets", None)
         return d
 
     def fields(self) -> List[str]:

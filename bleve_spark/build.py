@@ -399,9 +399,24 @@ class IndexBuilder:
             # column hashes the raw long bytes and would never match.
             keyed = corpus.withColumn("_id", id_expr.cast("string"))
             # stored plane = the corpus columns themselves (docvalues
-            # too); _idh is re-derived, never carried (rebuild inputs
-            # from compact()/merge include it)
-            stored = [c for c in corpus.columns if c not in ("_id", "_idh")]
+            # too); _idh and the mapping-derived helper columns
+            # (geoshape __bbox, vector __buckets) are re-derived, never
+            # carried (rebuild inputs from compact()/merge include them
+            # — carrying __buckets would collide with the rename below)
+            derived = {
+                f"{fm.name}__bbox"
+                for fm in self.mapping.fields.values()
+                if fm.type == "geoshape"
+            } | {
+                f"{fm.name}__buckets"
+                for fm in self.mapping.fields.values()
+                if fm.type == "vector"
+            }
+            stored = [
+                c
+                for c in corpus.columns
+                if c not in ("_id", "_idh") and c not in derived
+            ]
             # One content shuffle total: the whole corpus goes through the
             # two-pass range ranking (sample -> range exchange on _id ->
             # per-partition counts -> offset+local index). The output is
@@ -451,12 +466,14 @@ class IndexBuilder:
                 if fm.type == "vector" and fm.name in sel.columns:
                     from .ops.similarity import lsh_bucket_tables
 
-                    first = corpus.select(
-                        F.size(F.col(fm.name)).alias("d")
+                    # max over non-null rows, not first(): a null first
+                    # row must not silently disable bucket persistence
+                    row = corpus.agg(
+                        F.max(F.size(F.col(fm.name))).alias("d")
                     ).first()
-                    if first is not None and first["d"] is not None:
+                    if row is not None and row["d"] is not None and row["d"] > 0:
                         sel = lsh_bucket_tables(
-                            sel, int(first["d"]), vec_col=fm.name
+                            sel, int(row["d"]), vec_col=fm.name
                         ).withColumnRenamed(
                             "buckets", f"{fm.name}__buckets"
                         )

@@ -155,7 +155,12 @@ def lsh_bucket_tables(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
+        # null / ragged rows map to the zero vector (bucket 0 in every
+        # table) instead of crashing np.stack with an opaque error
+        m = np.zeros((len(vecs), dim), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dim:
+                m[i] = v
         bits = ((m @ planes.T) > 0).reshape(len(m), n_tables, n_planes)
         vals = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
         return pd.Series(vals.astype(np.int32).tolist())
@@ -193,12 +198,22 @@ def lsh_candidates_tables(
     per-table scan fraction stays sum_{i<=h} C(p,i)/2^p — with the
     16-plane/4-table/probe-2 defaults ~0.8% of the corpus is scored."""
     dim = len(query_vec)
+    pre = None
     if "buckets" in df.columns:
+        # reuse only when the column actually looks like our bucket
+        # array (array<int>) — a user field that happens to be named
+        # "buckets" must not silently drive candidate selection
+        dt = df.schema["buckets"].dataType
+        if isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, T.IntegerType
+        ):
+            pre = df
+    if pre is not None:
         # precomputed at index/ingest time (with lsh_bucket_tables,
         # same parameters) — the scale path: per-query work is then a
         # JVM bitcount filter + cosine over the ~1% survivors, with no
         # per-query pass over the vectors
-        bucketed = df
+        bucketed = pre
     else:
         bucketed = lsh_bucket_tables(
             df, dim, n_tables, n_planes, seed, vec_col
@@ -360,7 +375,14 @@ def all_pairs_above(
     test scale and bounded candidate volume at 10^6-row scale."""
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
-    if n_bands is None or bits_per_band is None:
+    if (n_bands is None) != (bits_per_band is None):
+        # a half-specified override would be silently overwritten by
+        # the planner — refuse instead of dropping the caller's choice
+        raise ValueError(
+            "pass BOTH n_bands and bits_per_band to override the "
+            "planner, or neither"
+        )
+    if n_bands is None:
         if n_rows is None:
             n_rows = df.count()
         n_bands, bits_per_band = plan_lsh_bands(

@@ -197,10 +197,12 @@ def validate_filter_predicate(pred: str) -> None:
         toks.append((kind, m.group(kind)))
         pos = m.end()
     for i, (kind, text) in enumerate(toks):
-        if kind != "ident":
+        if kind not in ("ident", "bq"):
             continue
-        low = text.lower()
-        if low in _FILTER_KEYWORDS:
+        # backtick-quoted names are identifiers too — they must get the
+        # same treatment, or `java_method`(...) slips through
+        low = (text[1:-1] if kind == "bq" else text).lower()
+        if kind == "ident" and low in _FILTER_KEYWORDS:
             continue
         if low in _FILTER_REJECT or any(
             part in _FILTER_REJECT for part in low.split(".")
@@ -208,7 +210,7 @@ def validate_filter_predicate(pred: str) -> None:
             raise UnsafeFilterPredicateError(
                 f"filter predicate: {text!r} is not allowed"
             )
-        # bare identifier = column reference; reject call syntax
+        # identifier = column reference; reject call syntax
         if i + 1 < len(toks) and toks[i + 1][1] == "(":
             raise UnsafeFilterPredicateError(
                 f"filter predicate: function calls are not allowed "

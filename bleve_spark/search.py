@@ -1616,8 +1616,12 @@ class Searcher:
                         # vector-mapped field: buckets were persisted
                         # at build time — candidate selection is a
                         # pure-JVM bitcount filter, no per-query
-                        # matmul over the corpus
-                        src = cand.withColumnRenamed(pre, "buckets")
+                        # matmul over the corpus. (Drop any unrelated
+                        # user column named "buckets" first; the
+                        # reserved <field>__buckets wins.)
+                        if "buckets" in cand.columns:
+                            src = cand.drop("buckets")
+                        src = src.withColumnRenamed(pre, "buckets")
                     cand = lsh_candidates_tables(
                         src,
                         kr.vector,

@@ -79,6 +79,10 @@ def test_filter_predicate_rejects_function_calls():
         "lang = 'go'; drop table x",
         "cast(lang as int) = 1",
         "(select 1) = 1",
+        # backtick-quoted call syntax must not bypass the check
+        "`java_method`('java.lang.Runtime','getRuntime') IS NOT NULL",
+        "`reflect`('a','b') = 1",
+        "`select` = 1 AND `cast`(x) = 2",
     ]:
         with pytest.raises(UnsafeFilterPredicateError):
             validate_filter_predicate(bad)
@@ -299,3 +303,52 @@ def test_vector_field_persisted_buckets(spark):
     doc = Index(spark, path, mapping).document("7")
     assert doc is not None and "embedding__buckets" not in doc
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_vector_index_rebuild_and_overrides(spark):
+    """Rebuilding from a corpus that already carries the persisted
+    __buckets column (compact()/merge inputs do) must not produce a
+    duplicate column; half-specified all_pairs_above band overrides
+    raise instead of being silently replanned."""
+    import numpy as np
+    import pytest
+
+    from bleve_spark import IndexBuilder
+    from bleve_spark.index import SearchIndex
+    from bleve_spark.ops.similarity import all_pairs_above
+
+    path = "/tmp/bleve_spark_vector_rebuild_index"
+    path2 = path + "_2"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path2, ignore_errors=True)
+    rng = np.random.default_rng(6)
+    rows = [
+        (str(i), [float(x) for x in rng.standard_normal(8)])
+        for i in range(20)
+    ]
+    # one null vector row: bucket UDF must stay robust, build must
+    # still persist buckets (dim sampled via max, not first)
+    rows.append(("null", None))
+    df = spark.createDataFrame(rows, "str_id string, embedding array<double>")
+    mapping = IndexMapping(
+        fields={"embedding": FieldMapping(name="embedding", type="vector")}
+    )
+    IndexBuilder(spark, mapping, path).build(df, id_expr=F.col("str_id"))
+    idx = SearchIndex(spark, path, mapping)
+    assert idx.docs.columns.count("embedding__buckets") == 1
+    # rebuild from the stored plane (the compact()/merge input shape)
+    stored = idx.docs.drop("docid", "_idh")
+    IndexBuilder(spark, mapping, path2).build(
+        stored, id_expr=F.col("_id")
+    )
+    idx2 = SearchIndex(spark, path2, mapping)
+    assert idx2.docs.columns.count("embedding__buckets") == 1
+
+    vec_df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="BOTH"):
+        all_pairs_above(vec_df, 0.9, n_bands=48)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path2, ignore_errors=True)

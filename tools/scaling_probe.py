@@ -23,7 +23,6 @@ import os
 import shutil
 import subprocess
 import sys
-import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
@@ -31,13 +30,6 @@ sys.path.insert(0, _ROOT)
 LOW = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 HIGH = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 PAIRS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-
-
-def jvm_shuffle_inprocess(master_n: int) -> float:
-    """Pure-JVM build-shaped job (see bench.jvm_shuffle_inprocess)."""
-    import bench
-
-    return bench.jvm_shuffle_inprocess(master_n)
 
 
 def run_pinned(code: str, cores: int) -> dict:
