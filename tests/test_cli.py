@@ -112,6 +112,13 @@ def test_cli_check_clean_and_corrupt(cli_index, capsys):
     assert "PROBLEM" in out
 
 
+def test_cli_mapping(cli_index, capsys):
+    out = run_cli(capsys, "mapping", "--index", cli_index)
+    m = json.loads(out)
+    assert "fields" in m and "body" in m["fields"]
+    assert m["fields"]["body"]["type"] == "text"
+
+
 def test_cli_create_refuses_existing(cli_index):
     with pytest.raises(SystemExit):
         spark_job.main(

@@ -164,6 +164,20 @@ def cmd_create(args):
     print(json.dumps({"status": "created", "index": args.index}))
 
 
+def cmd_mapping(args):
+    """Print the index's mapping as JSON
+    (ref: cmd/bleve/cmd/mapping.go). Reads the persisted _MAPPING.json
+    when present, else the --mapping preset."""
+    from bleve_spark import Index
+
+    m = Index._load_mapping(args.index) or _mapping(args.mapping)
+    if m is None:
+        raise SystemExit(
+            f"no persisted mapping at {args.index} and no preset given"
+        )
+    print(json.dumps(m.to_dict(), indent=2))
+
+
 def cmd_count(args):
     """Live doc count (ref: cmd/bleve/cmd/count.go)."""
     from bleve_spark import SearchIndex
@@ -494,6 +508,11 @@ def main(argv=None):
     )
     cnt.add_argument("--index", required=True)
 
+    mp = sub.add_parser(
+        "mapping", parents=[common], help="print the index mapping"
+    )
+    mp.add_argument("--index", required=True)
+
     fl = sub.add_parser(
         "fields", parents=[common], help="list indexed fields"
     )
@@ -540,6 +559,7 @@ def main(argv=None):
         "serve": cmd_serve,
         "create": cmd_create,
         "count": cmd_count,
+        "mapping": cmd_mapping,
         "fields": cmd_fields,
         "dictionary": cmd_dictionary,
         "dump": cmd_dump,
