@@ -181,6 +181,67 @@ WHERE t1.term='spark' AND t2.term='join'
 """
 
 
+def _q_ft_query_string(spark, sf_dir):
+    """Full query-string grammar path (+must / -mustnot / field:term)
+    — oracled against the equivalent boolean SQL."""
+    from bleve_spark.query_string import parse_query_string
+
+    s = _searcher(spark, sf_dir)
+    q = parse_query_string("+text:spark +text:join -text:hash")
+    return _all_hits(s, q, F.col("doc_id")).select("doc_id").distinct()
+
+
+def _q_ft_docid(spark, sf_dir):
+    """DocIDQuery (ref: query/docid.go) — constant-score id lookup."""
+    s = _searcher(spark, sf_dir)
+    q = Q.DocIDQuery(ids=["3", "41", "77", "9999999"])
+    return _all_hits(s, q, F.col("doc_id")).select("doc_id")
+
+
+_SQL_FT_DOCID = """
+SELECT doc_id FROM documents WHERE doc_id IN (3, 41, 77, 9999999)
+"""
+
+
+def _q_ft_facet_nchars(spark, sf_dir):
+    """Numeric-range facet with OVERLAPPING ranges — a doc increments
+    every matching range (ref facet_builder_numeric.go UpdateVisitor
+    loops all ranges)."""
+    s = _searcher(spark, sf_dir)
+    res = s.search(
+        SearchRequest(
+            query=Q.TermQuery(field="text", term="spark"),
+            facets={
+                "nchars": FacetRequest(
+                    field="n_chars",
+                    numeric_ranges=[
+                        {"name": "short", "max": 400},
+                        {"name": "mid", "min": 200, "max": 800},
+                        {"name": "long", "min": 600},
+                    ],
+                )
+            },
+        )
+    )
+    return res.facets["nchars"]
+
+
+_SQL_FT_FACET_NCHARS = f"""
+WITH {_TOKS}, {_TF},
+hits AS (SELECT d.n_chars FROM documents d
+         WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term='spark')),
+counts AS (
+  SELECT 'short' AS range, count(*) AS count FROM hits WHERE n_chars < 400
+  UNION ALL
+  SELECT 'mid', count(*) FROM hits WHERE n_chars >= 200 AND n_chars < 800
+  UNION ALL
+  SELECT 'long', count(*) FROM hits WHERE n_chars >= 600
+)
+SELECT range, count FROM counts WHERE count > 0
+ORDER BY count DESC, range
+"""
+
+
 def _q_ft_phrase(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     q = Q.MatchPhraseQuery(field="text", text="batch stream")
@@ -1088,6 +1149,9 @@ _REGISTRY: dict[str, tuple] = {
     "ft_term_tfidf": (_q_ft_term_tfidf, _SQL_FT_TERM_TFIDF),
     "ft_term_bm25": (_q_ft_term_bm25, _SQL_FT_TERM_BM25),
     "ft_bool_conj": (_q_ft_bool_conj, _SQL_FT_BOOL),
+    "ft_query_string": (_q_ft_query_string, _SQL_FT_BOOL),
+    "ft_docid": (_q_ft_docid, _SQL_FT_DOCID),
+    "ft_facet_nchars": (_q_ft_facet_nchars, _SQL_FT_FACET_NCHARS),
     "ft_phrase": (_q_ft_phrase, _SQL_FT_PHRASE),
     "ft_disj_coord": (_q_ft_disj_coord, _SQL_FT_DISJ),
     "ft_prefix": (_q_ft_prefix, _SQL_FT_PREFIX),
