@@ -181,6 +181,97 @@ WHERE t1.term='spark' AND t2.term='join'
 """
 
 
+_AUG_INDEXES: dict = {}
+
+# deterministic derived columns (identical integer arithmetic on both
+# engines) so geo / ip_range queries have oracle-checkable data
+_LAT_SQL = "((doc_id*7919) % 17000)/100.0 - 85.0"
+_LON_SQL = "((doc_id*104729) % 36000)/100.0 - 180.0"
+_IP_SQL = (
+    "'10.' || cast(doc_id % 64 AS varchar) || '.' || "
+    "cast(doc_id % 251 AS varchar) || '.' || cast(doc_id % 256 AS varchar)"
+)
+
+
+def _aug_index(spark, sf_dir):
+    """documents + derived geo point struct + IPv4 string, indexed —
+    backs the geo-distance and ip-range oracle rows."""
+    if sf_dir in _AUG_INDEXES:
+        return _AUG_INDEXES[sf_dir]
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/bleve_spark_entry/aug_{key}"
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "place",
+        F.struct(
+            (((F.col("doc_id") * 7919) % 17000) / 100.0 - 85.0).alias("lat"),
+            (((F.col("doc_id") * 104729) % 36000) / 100.0 - 180.0).alias(
+                "lon"
+            ),
+        ),
+    ).withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("doc_id") % 64).cast("string"),
+            (F.col("doc_id") % 251).cast("string"),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    mapping = documents_mapping()
+    IndexBuilder(spark, mapping, path).build(
+        aug,
+        id_expr=F.col("doc_id").cast("string"),
+        fingerprint=f"{sf_dir}:aug:{docs.count()}",
+    )
+    idx = SearchIndex(spark, path, mapping)
+    _AUG_INDEXES[sf_dir] = idx
+    return idx
+
+
+def _q_ft_geo_distance(spark, sf_dir):
+    """GeoDistanceQuery over the derived point column; the oracle
+    recomputes the same haversine (mean earth radius 6371008.8 m) in
+    SQL."""
+    s = Searcher(_aug_index(spark, sf_dir))
+    q = Q.GeoDistanceQuery(
+        field="place", location=[139.0, 35.0], distance="1500km"
+    )
+    return _all_hits(s, q, F.col("doc_id")).select("doc_id")
+
+
+_SQL_FT_GEO_DISTANCE = f"""
+WITH g AS (SELECT doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+           FROM documents)
+SELECT doc_id FROM g
+WHERE 2.0*6371008.8*asin(sqrt(least(
+    pow(sin((radians(35.0)-radians(lat))/2),2)
+    + cos(radians(lat))*cos(radians(35.0))
+      *pow(sin((radians(139.0)-radians(lon))/2),2), 1.0))) <= 1500000.0
+"""
+
+
+def _q_ft_ip_range(spark, sf_dir):
+    """IPv4 CIDR containment over the derived dotted-quad column
+    (packed-int comparison, whole-stage codegen)."""
+    s = Searcher(_aug_index(spark, sf_dir))
+    q = Q.IPRangeQuery(field="ip", cidr="10.5.0.0/16")
+    return _all_hits(s, q, F.col("doc_id")).select("doc_id")
+
+
+_SQL_FT_IP_RANGE = f"""
+WITH i AS (SELECT doc_id, string_split({_IP_SQL}, '.') AS p
+           FROM documents),
+packed AS (SELECT doc_id,
+    cast(p[1] AS bigint)*16777216 + cast(p[2] AS bigint)*65536
+    + cast(p[3] AS bigint)*256 + cast(p[4] AS bigint) AS v
+    FROM i)
+SELECT doc_id FROM packed
+WHERE v >= 168099840 AND v <= 168165375
+"""
+
+
 def _q_ft_query_string(spark, sf_dir):
     """Full query-string grammar path (+must / -mustnot / field:term)
     — oracled against the equivalent boolean SQL."""
@@ -1152,6 +1243,8 @@ _REGISTRY: dict[str, tuple] = {
     "ft_query_string": (_q_ft_query_string, _SQL_FT_BOOL),
     "ft_docid": (_q_ft_docid, _SQL_FT_DOCID),
     "ft_facet_nchars": (_q_ft_facet_nchars, _SQL_FT_FACET_NCHARS),
+    "ft_geo_distance": (_q_ft_geo_distance, _SQL_FT_GEO_DISTANCE),
+    "ft_ip_range": (_q_ft_ip_range, _SQL_FT_IP_RANGE),
     "ft_phrase": (_q_ft_phrase, _SQL_FT_PHRASE),
     "ft_disj_coord": (_q_ft_disj_coord, _SQL_FT_DISJ),
     "ft_prefix": (_q_ft_prefix, _SQL_FT_PREFIX),
