@@ -61,3 +61,83 @@ def stream_index(
     if trigger_available_now:
         out = out.trigger(availableNow=True)
     return out.start()
+
+
+def windowed_term_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+):
+    """Watermarked windowed term frequencies over a document stream —
+    the live 'trending terms' dictionary. Late rows within the
+    watermark still update their window; older ones are dropped and
+    the window state is reclaimed (bounded state at 100-TB stream
+    scale). Pure built-ins: split/explode + window groupBy with
+    map-side partial counts."""
+    toks = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return toks.groupBy(win.alias("win"), "term").count()
+
+
+DEDUP_OUTPUT_SCHEMA = (
+    "doc_id string, dup_of string, text_hash string, nth int"
+)
+DEDUP_STATE_SCHEMA = "first_id string, seen int"
+
+
+def streaming_dedup(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Custom stateful operator (applyInPandasWithState): streaming
+    exact-dedup. State per md5(text) content hash holds (first seen
+    doc id, count); every later arrival with the same content emits a
+    (doc_id, dup_of=first, nth) row in the same micro-batch. State is
+    one tiny row per distinct content hash, partitioned by the hash —
+    the streaming complement of ops.dedup.exact_groups for
+    ingest-time filtering.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        first_id, seen = (
+            state.get if state.exists else (None, 0)
+        )
+        out = []
+        for pdf in pdfs:
+            for doc_id in pdf[id_col].astype(str):
+                if first_id is None:
+                    first_id = doc_id
+                    seen = 1
+                else:
+                    seen += 1
+                    out.append((doc_id, first_id, key[0], seen))
+        state.update((first_id, seen))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "dup_of", "text_hash", "nth"]
+        )
+
+    hashed = stream.withColumn("text_hash", F.md5(F.col(text_col)))
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        fn,
+        DEDUP_OUTPUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

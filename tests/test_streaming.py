@@ -147,3 +147,98 @@ def test_streaming_tiered_merge(spark, tmp_path):
         SearchRequest(query=parse_query({"term": "common"}), size=50)
     )
     assert res.hits.count() == 15
+
+
+def test_windowed_term_counts(spark, tmp_path):
+    """Watermarked tumbling-window term frequencies (append mode after
+    watermark passes; here read via complete-mode memory sink)."""
+    import json as _json
+
+    from bleve_spark.streaming import windowed_term_counts
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+    rows = [
+        ("2024-01-01T10:05:00", "spark merge spark"),
+        ("2024-01-01T10:20:00", "merge plan"),
+        ("2024-01-01T11:10:00", "spark"),
+    ]
+    with open(f"{src}/a.json", "w") as f:
+        for ts, text in rows:
+            f.write(_json.dumps({"ts": ts, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("ts timestamp, text string").json(src)
+    )
+    counts = windowed_term_counts(
+        stream, window="1 hour", watermark="30 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wtc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win"]["start"].hour, r["term"]): r["count"]
+        for r in spark.sql("select * from wtc").collect()
+    }
+    assert got[(10, "spark")] == 2
+    assert got[(10, "merge")] == 2
+    assert got[(10, "plan")] == 1
+    assert got[(11, "spark")] == 1
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: state per content hash
+    persists ACROSS micro-batches (maxFilesPerTrigger=1 forces three
+    batches); duplicates emit (doc_id, dup_of=first seen, nth)."""
+    import json as _json
+
+    from bleve_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    os.makedirs(src)
+    batches = [
+        [("a", "red fox"), ("b", "blue cow")],
+        [("c", "red fox")],           # dup of a, later batch
+        [("d", "blue cow"), ("e", "red fox"), ("f", "green owl")],
+    ]
+    for i, batch in enumerate(batches):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for doc_id, text in batch:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dups = {
+        r["doc_id"]: (r["dup_of"], r["nth"])
+        for r in spark.sql("select * from sdup").collect()
+    }
+    # file order may vary per listing; identify first-seen per content
+    firsts = {v[0] for v in dups.values()}
+    assert set(dups) | firsts <= {"a", "b", "c", "d", "e", "f"}
+    # exactly three duplicate emissions (6 docs, 3 distinct texts,
+    # one text unique)
+    assert len(dups) == 3
+    # every duplicate points at a doc with the same text
+    text_of = dict(
+        (d, t) for batch in batches for d, t in batch
+    )
+    for doc_id, (dup_of, nth) in dups.items():
+        assert text_of[doc_id] == text_of[dup_of]
+        assert nth >= 2
