@@ -219,11 +219,25 @@ def _aug_index(spark, sf_dir):
             (F.col("doc_id") % 256).cast("string"),
         ),
     )
-    mapping = documents_mapping()
+    # geo/ip queries only read the stored doc plane — store the text
+    # without indexing it instead of paying a second full postings
+    # build for two oracle rows
+    from bleve_spark.mapping import FieldMapping, IndexMapping
+
+    mapping = IndexMapping(
+        fields={"text": FieldMapping("text", index=False)},
+        dynamic=False,
+    )
     IndexBuilder(spark, mapping, path).build(
         aug,
         id_expr=F.col("doc_id").cast("string"),
-        fingerprint=f"{sf_dir}:aug:{docs.count()}",
+        # the derived-column formulas are part of the fingerprint: a
+        # formula change must invalidate a resumable /tmp index, or the
+        # oracle (which always recomputes) would diverge from stale data
+        fingerprint=(
+            f"{sf_dir}:aug:{docs.count()}:"
+            f"{_LAT_SQL}|{_LON_SQL}|{_IP_SQL}"
+        ),
     )
     idx = SearchIndex(spark, path, mapping)
     _AUG_INDEXES[sf_dir] = idx

@@ -342,8 +342,8 @@ def run_queries(spark) -> dict:
         fn = entrymod.queries()[name]
         out[f"op_{name}"] = timed(lambda: fn(spark, SF_DIR).collect(), reps=3)
     # hot+hot exact phrase over the sf documents index (the <1 s
-    # round-3 target; first rep includes the one-time index build,
-    # median of 3 reads steady state)
+    # round-3 target); the one-time index build + JIT warm runs
+    # outside the timer, so all reps are steady-state
     fn = entrymod.queries()["ft_phrase"]
     fn(spark, SF_DIR).collect()  # build/warm outside the timer
     out["q_phrase_sfdocs"] = timed(

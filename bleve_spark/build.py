@@ -611,6 +611,18 @@ class IndexBuilder:
 
         # manifest lineage --------------------------------------------------
         self._append_manifest(report)
+        # persist the mapping (the index_meta.json analogue) so tools
+        # reopening the index see the REAL mapping, not a preset guess.
+        # Segment builds (writer passes .../segments/seg-*) skip this —
+        # the mapping belongs to the index root, which the Index facade
+        # persists itself.
+        if os.path.basename(os.path.dirname(self.index_path)) != "segments":
+            meta = os.path.join(self.index_path, "_MAPPING.json")
+            if not os.path.exists(meta):
+                import json as _json
+
+                with open(meta, "w") as f:
+                    _json.dump(self.mapping.to_dict(), f)
         return report
 
     def _append_manifest(self, report: BuildReport):

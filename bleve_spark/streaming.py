@@ -133,7 +133,12 @@ def streaming_dedup(
             out, columns=["doc_id", "dup_of", "text_hash", "nth"]
         )
 
-    hashed = stream.withColumn("text_hash", F.md5(F.col(text_col)))
+    # null-text rows pass through un-deduped: md5(NULL) is NULL and
+    # would otherwise collapse every content-less doc into one group,
+    # flagging unrelated docs as duplicates of each other
+    hashed = stream.where(F.col(text_col).isNotNull()).withColumn(
+        "text_hash", F.md5(F.col(text_col))
+    )
     return hashed.groupBy("text_hash").applyInPandasWithState(
         fn,
         DEDUP_OUTPUT_SCHEMA,

@@ -231,7 +231,8 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     }
     # file order may vary per listing; identify first-seen per content
     firsts = {v[0] for v in dups.values()}
-    assert set(dups) | firsts <= {"a", "b", "c", "d", "e", "f"}
+    # a first-seen doc never also appears as a duplicate
+    assert firsts.isdisjoint(dups)
     # exactly three duplicate emissions (6 docs, 3 distinct texts,
     # one text unique)
     assert len(dups) == 3

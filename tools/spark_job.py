@@ -165,15 +165,16 @@ def cmd_create(args):
 
 
 def cmd_mapping(args):
-    """Print the index's mapping as JSON
-    (ref: cmd/bleve/cmd/mapping.go). Reads the persisted _MAPPING.json
-    when present, else the --mapping preset."""
+    """Print the index's PERSISTED mapping as JSON
+    (ref: cmd/bleve/cmd/mapping.go prints the index's real mapping —
+    never a preset guess)."""
     from bleve_spark import Index
 
-    m = Index._load_mapping(args.index) or _mapping(args.mapping)
+    m = Index._load_mapping(args.index)
     if m is None:
         raise SystemExit(
-            f"no persisted mapping at {args.index} and no preset given"
+            f"no persisted _MAPPING.json at {args.index} (indexes "
+            f"written by older builds predate mapping persistence)"
         )
     print(json.dumps(m.to_dict(), indent=2))
 
