@@ -814,12 +814,46 @@ GROUP BY cand.a, cand.b
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    # no SQL oracle (64-bit twiddling) — driver rows-only check.
     # max_hamming=3 -> 16-bit bands (65536 join buckets per band), the
     # scale-safe pigeonhole configuration; see dedup.simhash_pairs.
+    # Oracle: DuckDB recomputes the 64-bit signatures from scratch
+    # (md5-prefix bit votes, 64 conditional sums, two's-complement
+    # fold) and takes EXHAUSTIVE hamming<=3 pairs — pigeonhole banding
+    # is provably exact, so the sets must match bit-for-bit.
     return dedup.simhash_pairs(
         _load(spark, sf_dir, "documents"), max_hamming=3
     )
+
+
+def _sql_dedup_simhash() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {63 - i}) & 1 = 1 THEN tf ELSE -tf END)"
+        f" AS v{i}"
+        for i in range(64)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       GROUP BY doc_id, term),
+hashed AS (SELECT doc_id, tf,
+           cast(concat('0x', substr(md5(term),1,16)) AS UBIGINT) AS h
+           FROM tf),
+acc AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id,
+  cast(CASE WHEN ({sig}) >= 9223372036854775808::HUGEINT
+       THEN ({sig}) - 18446744073709551616::HUGEINT
+       ELSE ({sig}) END AS BIGINT) AS simhash
+  FROM acc)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # -- similarity search ------------------------------------------------------
@@ -869,13 +903,25 @@ WHERE {R4("list_cosine_similarity(a.embedding, b.embedding)")} >= 0.5
 
 
 def _q_knn_lsh(spark, sf_dir):
-    # approximate (seeded-hyperplane LSH) — rows-only check
+    """LSH route at probe == planes: the bucket machinery runs but
+    prunes nothing (full recall by construction), so the exact cosine
+    top-k is a true oracle while the plan still exercises the LSH
+    path. Recall at pruning probe settings is measured separately
+    (BASELINE.md 10^6-vector study; tests pin route equivalence)."""
     return similarity.lsh_topk(
         _load(spark, sf_dir, "embeddings"),
         _query_vec(spark, sf_dir),
         k=10,
-        probe_hamming=12,  # full recall at this scale; tighten for 10^9
+        probe_hamming=12,  # == n_planes -> exact; tighten for 10^9
     )
+
+
+_SQL_KNN_LSH = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id=0)
+SELECT vec_id, {R4("list_cosine_similarity(embedding, q.qv)")} AS cos_r
+FROM embeddings, q
+ORDER BY cos_r DESC, vec_id LIMIT 10
+"""
 
 
 _VEC_INDEXES: dict = {}
@@ -1276,9 +1322,9 @@ _REGISTRY: dict[str, tuple] = {
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_jaccard": (_q_dedup_jaccard, _SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _SQL_DEDUP_MINHASH),
-    "dedup_simhash": (_q_dedup_simhash, None),
+    "dedup_simhash": (_q_dedup_simhash, _sql_dedup_simhash()),
     "knn_cosine": (_q_knn_cosine, _SQL_KNN),
-    "knn_lsh": (_q_knn_lsh, None),
+    "knn_lsh": (_q_knn_lsh, _SQL_KNN_LSH),
     "knn_vector_field": (_q_knn_vector_field, _SQL_KNN),
     "emb_neardup": (_q_emb_neardup, _SQL_EMB_NEARDUP),
     "text_token_count": (_q_text_token_count, _SQL_TOKEN_COUNT),
