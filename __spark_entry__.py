@@ -1058,16 +1058,19 @@ FROM documents
 def _q_multimodal_features(spark, sf_dir):
     media = multimodal.synthesize_media(spark, n=64)
     feats = multimodal.extract_features(media, decode_mode="fake")
-    return feats.select(
-        "media_id",
-        "kind",
-        "payload_sha256",
-        "n_bytes",
-        # exact float32 on both sides: the oracle casts its recomputed
-        # uint16/65535 to REAL, which is bit-identical to the numpy
-        # float32 the UDF produced — no rounding epsilon to manage
-        F.col("feature").alias("feature_r"),
-    )
+    # The gate canonicalizer sorts rows on every column with pandas, which
+    # cannot hash a list-valued cell — so the 16-dim float32 feature is
+    # emitted as 16 scalar columns. Each dim is uint16/65535 stored as
+    # float32; k = round(float32(k/65535) * 65535) recovers k exactly
+    # (max product error ~4e-3 << 0.5), so comparing the integers is an
+    # exact, float-format-free check of the feature values.
+    dims = [
+        F.round(F.element_at(F.col("feature"), i + 1).cast("double") * 65535)
+        .cast("int")
+        .alias(f"f{i:02d}")
+        for i in range(multimodal.FEATURE_DIM)
+    ]
+    return feats.select("media_id", "kind", "payload_sha256", "n_bytes", *dims)
 
 
 def _sql_multimodal_features() -> str:
@@ -1075,7 +1078,10 @@ def _sql_multimodal_features() -> str:
     the synthetic payloads (printable ASCII, deterministic seed) are
     embedded as VARCHAR literals; DuckDB recomputes sha256, byte
     length, and the sha256-derived 16-dim feature (consecutive
-    little-endian uint16 pairs of the digest / 65535) from scratch."""
+    little-endian uint16 pairs of the digest) from scratch. The feature
+    is compared as 16 scalar uint16 columns (the float32 value k/65535
+    round-trips to k exactly on the Spark side) — scalar columns keep
+    the gate canonicalizer's pandas row sort hashable."""
     rows = multimodal.synthesize_media_rows(n=64)
     values = ",\n".join(
         "({}, '{}', '{}')".format(
@@ -1083,11 +1089,9 @@ def _sql_multimodal_features() -> str:
         )
         for media_id, kind, _m, _w, _h, _d, payload in rows
     )
-    feat_elems = ",".join(
-        "cast(cast(concat('0x', substr(h, {}, 2), substr(h, {}, 2)) "
-        "AS INTEGER) / cast(65535.0 AS REAL) AS REAL)".format(
-            4 * i + 3, 4 * i + 1
-        )
+    feat_cols = ",\n       ".join(
+        "cast(concat('0x', substr(h, {}, 2), substr(h, {}, 2)) "
+        "AS INTEGER) AS f{:02d}".format(4 * i + 3, 4 * i + 1, i)
         for i in range(multimodal.FEATURE_DIM)
     )
     return f"""
@@ -1100,7 +1104,7 @@ hashed AS (
   FROM media
 )
 SELECT media_id, kind, h AS payload_sha256, n_bytes,
-       [{feat_elems}] AS feature_r
+       {feat_cols}
 FROM hashed
 """
 

@@ -618,11 +618,14 @@ class IndexBuilder:
         # persists itself.
         if os.path.basename(os.path.dirname(self.index_path)) != "segments":
             meta = os.path.join(self.index_path, "_MAPPING.json")
-            if not os.path.exists(meta):
-                import json as _json
+            # Overwrite on every successful build: the file is derived
+            # from self.mapping, and an in-place rebuild with a changed
+            # mapping must not leave a stale copy that cmd_mapping and a
+            # mapping-less reopen (Index._load_mapping) would trust.
+            import json as _json
 
-                with open(meta, "w") as f:
-                    _json.dump(self.mapping.to_dict(), f)
+            with open(meta, "w") as f:
+                _json.dump(self.mapping.to_dict(), f)
         return report
 
     def _append_manifest(self, report: BuildReport):

@@ -66,6 +66,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _check_n_planes(n_planes: int) -> None:
+    """Bucket ids are packed sign bits in an IntegerType (int32) column;
+    n_planes >= 32 would silently wrap the int32 cast and produce buckets
+    that can never equal the query side's values (zero candidates)."""
+    if not (1 <= n_planes <= 31):
+        raise ValueError(
+            f"n_planes must be in [1, 31] (bucket ids are int32 sign-bit "
+            f"packs; {n_planes} planes would overflow silently)"
+        )
+
+
 def lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -75,6 +86,7 @@ def lsh_bucket(
 ) -> DataFrame:
     """Random-hyperplane LSH signature per vector (deterministic seed);
     bucket = sign-bit integer. Arrow-batched matrix multiply per batch."""
+    _check_n_planes(n_planes)
     planes = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf(T.IntegerType())
@@ -145,7 +157,16 @@ def lsh_bucket_tables(
 ) -> DataFrame:
     """Multi-table LSH: n_tables independent hyperplane sets, one
     bucket id per table (array column). One Arrow-batched matrix
-    multiply computes all tables at once."""
+    multiply computes all tables at once.
+
+    The output `buckets` column carries the LSH parameters
+    (n_tables/n_planes/seed) as StructField metadata — persisted through
+    parquet — so a later `lsh_candidates_tables` reuse can verify it was
+    built with the SAME parameters instead of silently producing zero or
+    wrong candidates on a mismatched column."""
+    _check_n_planes(n_planes)
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
     planes = np.concatenate(
         [
             _hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -165,7 +186,14 @@ def lsh_bucket_tables(
         vals = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=2)
         return pd.Series(vals.astype(np.int32).tolist())
 
-    return df.withColumn("buckets", buckets_udf(F.col(vec_col)))
+    meta = {
+        "lsh_n_tables": int(n_tables),
+        "lsh_n_planes": int(n_planes),
+        "lsh_seed": int(seed),
+    }
+    return df.withColumn(
+        "buckets", buckets_udf(F.col(vec_col)).alias("buckets", metadata=meta)
+    )
 
 
 def _query_buckets(
@@ -200,14 +228,35 @@ def lsh_candidates_tables(
     dim = len(query_vec)
     pre = None
     if "buckets" in df.columns:
-        # reuse only when the column actually looks like our bucket
-        # array (array<int>) — a user field that happens to be named
-        # "buckets" must not silently drive candidate selection
-        dt = df.schema["buckets"].dataType
+        # Reuse ONLY a column provably built by lsh_bucket_tables with
+        # the SAME parameters: array<int> type AND the persisted
+        # parameter metadata matching this call. A shorter array would
+        # make element_at return NULL (silently dropping rows); a
+        # different seed/planes would silently destroy recall. Metadata
+        # mismatch raises (the caller asked for an impossible reuse);
+        # absent metadata means "not ours" — recompute.
+        field = df.schema["buckets"]
+        dt = field.dataType
         if isinstance(dt, T.ArrayType) and isinstance(
             dt.elementType, T.IntegerType
         ):
-            pre = df
+            meta = field.metadata or {}
+            if "lsh_n_tables" in meta:
+                if (
+                    meta.get("lsh_n_tables") != n_tables
+                    or meta.get("lsh_n_planes") != n_planes
+                    or meta.get("lsh_seed") != seed
+                ):
+                    raise ValueError(
+                        "precomputed `buckets` column was built with LSH "
+                        f"params (n_tables={meta.get('lsh_n_tables')}, "
+                        f"n_planes={meta.get('lsh_n_planes')}, "
+                        f"seed={meta.get('lsh_seed')}) but the query asks "
+                        f"for (n_tables={n_tables}, n_planes={n_planes}, "
+                        f"seed={seed}); rebuild the buckets or match the "
+                        "query parameters"
+                    )
+                pre = df
     if pre is not None:
         # precomputed at index/ingest time (with lsh_bucket_tables,
         # same parameters) — the scale path: per-query work is then a
@@ -265,6 +314,10 @@ def lsh_band_keys(
     band per vector.  A pair with angular similarity p per bit collides in
     >=1 band w.p. 1-(1-p^bits)^bands — the OR-of-bands construction that
     gives high recall at a cosine threshold without an all-pairs join."""
+    if not (1 <= bits_per_band <= 31):
+        raise ValueError(
+            "bits_per_band must be in [1, 31] (band values are int32)"
+        )
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))

@@ -26,6 +26,13 @@ TABLES = [
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # Canary mirroring the driver's _canon: the gate sorts the RAW frame
+    # with pandas, which raises TypeError on unhashable cells (lists,
+    # dicts). Reproduce that here so a non-scalar output column fails
+    # locally instead of only in the driver gate (round-3 lesson:
+    # multimodal_features array<float> crashed the gate but passed the
+    # stringified compare below).
+    df.sort_values(list(df.columns), kind="stable")
     # stringify for robust compare; floats via repr of rounded value
     out = df.copy()
     for c in out.columns:
