@@ -937,9 +937,14 @@ def _vec_index(spark, sf_dir):
         return _VEC_INDEXES[sf_dir]
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = f"/tmp/bleve_spark_entry/vec_{key}"
+    # explicit "cosine" (engine extension): this oracle's DuckDB side is
+    # list_cosine_similarity; the reference DEFAULT metric (l2_norm) is
+    # exercised by the knn_l2 entry over the same index
     mapping = IndexMapping(
         fields={
-            "embedding": FieldMapping(name="embedding", type="vector")
+            "embedding": FieldMapping(
+                name="embedding", type="vector", similarity="cosine"
+            )
         },
         dynamic=False,
     )
@@ -983,6 +988,58 @@ def _q_knn_vector_field(spark, sf_dir):
         .orderBy(F.desc("cos_r"), "vec_id")
         .limit(10)
     )
+
+
+def _q_knn_l2(spark, sf_dir):
+    """SearchRequest.knn under the reference's DEFAULT similarity metric
+    (l2_norm — util/knn.go:31): the vector FieldMapping carries no
+    explicit metric, validate_vector_field defaults it, and the hit
+    score is the inverted squared distance (scorer_knn.go:71-75). The
+    oracle recomputes squared euclidean distance from inner products
+    and inverts identically. Exact scan by construction (the l2 route
+    never uses the angular LSH prefilter)."""
+    from bleve_spark.mapping import FieldMapping, IndexMapping
+
+    idx = _vec_index(spark, sf_dir)  # reuse the built index tables
+    l2_mapping = IndexMapping(
+        fields={"embedding": FieldMapping(name="embedding", type="vector")},
+        dynamic=False,
+    )
+    s = Searcher(SearchIndex(spark, idx.index_path, l2_mapping))
+    res = s.search(
+        SearchRequest(
+            query=Q.MatchNoneQuery(),
+            knn=[
+                KNNRequest(
+                    field="embedding",
+                    vector=_query_vec(spark, sf_dir),
+                    k=11,
+                )
+            ],
+            size=11,
+            fields=("vec_id",),
+        )
+    )
+    # score = 1/d^2; compare r4(d^2) = r4(1/score) — bounded magnitude,
+    # monotone in the ranking (exclude the query row's infinite score)
+    return (
+        res.hits.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id", r4(F.lit(1.0) / F.col("score")).alias("l2sq_r")
+        )
+        .orderBy(F.asc("l2sq_r"), "vec_id")
+        .limit(10)
+    )
+
+
+_SQL_KNN_L2 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id=0)
+SELECT vec_id,
+       {R4("list_sum(list_transform(list_zip(embedding, q.qv),"
+           " x -> (x[1] - x[2])*(x[1] - x[2])))")} AS l2sq_r
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY l2sq_r ASC, vec_id LIMIT 10
+"""
 
 
 # -- text analysis ----------------------------------------------------------
@@ -1330,6 +1387,7 @@ _REGISTRY: dict[str, tuple] = {
     "knn_cosine": (_q_knn_cosine, _SQL_KNN),
     "knn_lsh": (_q_knn_lsh, _SQL_KNN_LSH),
     "knn_vector_field": (_q_knn_vector_field, _SQL_KNN),
+    "knn_l2": (_q_knn_l2, _SQL_KNN_L2),
     "emb_neardup": (_q_emb_neardup, _SQL_EMB_NEARDUP),
     "text_token_count": (_q_text_token_count, _SQL_TOKEN_COUNT),
     "text_quality": (_q_text_quality, _SQL_QUALITY),

@@ -13,7 +13,17 @@ from .api import Index
 from .build import IndexBuilder, assign_docids, drop_index
 from .highlight import HighlightRequest
 from .index import SearchIndex
-from .mapping import FieldMapping, IndexMapping, code_corpus_mapping, documents_mapping
+from .mapping import (
+    COSINE,
+    COSINE_SIMILARITY,
+    DEFAULT_SIMILARITY_METRIC,
+    EUCLIDEAN_DISTANCE,
+    FieldMapping,
+    IndexMapping,
+    code_corpus_mapping,
+    documents_mapping,
+    validate_vector_field,
+)
 from .query import parse_query
 from .search import (
     FacetRequest,
@@ -38,6 +48,11 @@ __all__ = [
     "FieldMapping",
     "code_corpus_mapping",
     "documents_mapping",
+    "validate_vector_field",
+    "COSINE",
+    "COSINE_SIMILARITY",
+    "DEFAULT_SIMILARITY_METRIC",
+    "EUCLIDEAN_DISTANCE",
     "assign_docids",
     "drop_index",
     "parse_query",

@@ -165,6 +165,104 @@ def _resolve_lazy():
 
         TOKEN_FILTERS["possessive_en"] = possessive_filter_en
         TOKEN_FILTERS["stemmer_en_plural"] = english_plural_stem_filter
+        _register_reference_lang_filters()
+
+
+def _register_reference_lang_filters():
+    """Every per-language token filter under the reference's registry
+    names, so custom-analyzer configs written against the reference
+    resolve verbatim (ref: the RegisterTokenFilter calls across
+    analysis/lang/*/ and analysis/token/snowball). Loaded lazily with
+    the other lang components (import cycle + startup cost)."""
+    from . import lang as L
+    from . import lang_extra as LX
+    from . import lang_hr as LHR
+    from . import snowball as SB
+    from . import snowball_ext as SBX
+    from . import snowball_variants as SBV
+    from .filters import porter_filter
+    from .porter2 import porter2_filter
+
+    TOKEN_FILTERS.update(
+        {
+            # light/minimal/normalize chain parts
+            # (ref: lang/{de,fr,es,it,pt}/light_stemmer_*.go,
+            #  lang/fr/minimal_stemmer_fr.go, lang/de/german_normalize.go)
+            "stemmer_de_light": L.german_light_stem_filter,
+            "stemmer_fr_light": L.french_light_stem_filter,
+            "stemmer_es_light": L.spanish_light_stem_filter,
+            "stemmer_it_light": L.italian_light_stem_filter,
+            "stemmer_pt_light": L.portuguese_light_stem_filter,
+            "stemmer_fr_min": SBV.minimal_fr_filter,
+            "normalize_de": L.german_normalize_filter,
+            # elisions (ref: lang/{fr,it,ca,ga}/elision_*.go)
+            "elision_fr": L.elision_fr_filter,
+            "elision_it": L.elision_it_filter,
+            "elision_ca": LX.elision_ca_filter,
+            "elision_ga": LX.elision_ga_filter,
+            # full snowball stemmers
+            # (ref: lang/*/stemmer_*_snowball.go)
+            "stemmer_fr_snowball": SBV.snowball_fr_filter,
+            "stemmer_de_snowball": SBV.snowball_de_filter,
+            "stemmer_es_snowball": SBV.snowball_es_filter,
+            "stemmer_it_snowball": SBV.snowball_it_filter,
+            "stemmer_en_snowball": porter2_filter,
+            "stemmer_da_snowball": SB.snowball_da_filter,
+            "stemmer_no_snowball": SB.snowball_no_filter,
+            "stemmer_sv_snowball": SB.snowball_sv_filter,
+            "stemmer_ru_snowball": SB.snowball_ru_filter,
+            "stemmer_nl_snowball": SB.snowball_nl_filter,
+            "stemmer_fi_snowball": SBX.snowball_fi_filter,
+            "stemmer_hu_snowball": SBX.snowball_hu_filter,
+            "stemmer_ro_snowball": SBX.snowball_ro_filter,
+            "stemmer_tr_snowball": SBX.snowball_tr_filter,
+            # non-snowball language stemmers / normalizers
+            # (ref: lang/{ar,ckb,hi,hr,fa,in}/*.go)
+            "stemmer_ar": LX.arabic_stem_filter,
+            "stemmer_ckb": LX.sorani_stem_filter,
+            "stemmer_hi": LX.hindi_stem_filter,
+            "stemmer_hr": LHR.croatian_stem_filter,
+            "hr_suffix_transformation_filter": LHR.croatian_suffix_filter,
+            "normalize_ar": LX.arabic_normalize_filter,
+            "normalize_ckb": LX.sorani_normalize_filter,
+            "normalize_fa": LX.persian_normalize_filter,
+            "normalize_hi": LX.hindi_normalize_filter,
+            "normalize_in": LX.indic_normalize_filter,
+        }
+    )
+    # configurable snowball (ref: analysis/token/snowball/snowball.go —
+    # config {"language": ...}; "english"/"porter" per the Go snowball
+    # package's language names)
+    by_language = {
+        "english": porter2_filter,
+        "porter": porter_filter,
+        "french": SBV.snowball_fr_filter,
+        "german": SBV.snowball_de_filter,
+        "spanish": SBV.snowball_es_filter,
+        "italian": SBV.snowball_it_filter,
+        "danish": SB.snowball_da_filter,
+        "norwegian": SB.snowball_no_filter,
+        "swedish": SB.snowball_sv_filter,
+        "russian": SB.snowball_ru_filter,
+        "dutch": SB.snowball_nl_filter,
+        "finnish": SBX.snowball_fi_filter,
+        "hungarian": SBX.snowball_hu_filter,
+        "romanian": SBX.snowball_ro_filter,
+        "turkish": SBX.snowball_tr_filter,
+    }
+
+    def _snowball_factory(cfg):
+        lang = cfg.get("language")
+        if not lang:
+            raise ValueError("must specify language")
+        if lang not in by_language:
+            raise KeyError(
+                f"no snowball language {lang!r}; known: "
+                f"{sorted(by_language)}"
+            )
+        return by_language[lang]
+
+    TOKEN_FILTER_FACTORIES["stemmer_snowball"] = _snowball_factory
 
 
 def _component(entry, named: dict, factories: dict, kind: str):

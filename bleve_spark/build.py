@@ -464,16 +464,27 @@ class IndexBuilder:
                 # filter over these ints instead of a per-query matmul
                 # pass over every vector (BASELINE.md round-3 study)
                 if fm.type == "vector" and fm.name in sel.columns:
+                    from .mapping import validate_vector_field
                     from .ops.similarity import lsh_bucket_tables
 
-                    # max over non-null rows, not first(): a null first
-                    # row must not silently disable bucket persistence
-                    row = corpus.agg(
-                        F.max(F.size(F.col(fm.name))).alias("d")
-                    ).first()
-                    if row is not None and row["d"] is not None and row["d"] > 0:
+                    # normalize + validate here too: mappings built via
+                    # IndexMapping(fields={...}) bypass add()'s check
+                    validate_vector_field(fm)
+
+                    # explicit dims wins (reference semantics); else
+                    # infer as max over non-null rows, not first(): a
+                    # null first row must not silently disable bucket
+                    # persistence
+                    d = fm.dims
+                    if not d:
+                        row = corpus.agg(
+                            F.max(F.size(F.col(fm.name))).alias("d")
+                        ).first()
+                        if row is not None and row["d"] is not None:
+                            d = int(row["d"])
+                    if d and d > 0:
                         sel = lsh_bucket_tables(
-                            sel, int(row["d"]), vec_col=fm.name
+                            sel, d, vec_col=fm.name
                         ).withColumnRenamed(
                             "buckets", f"{fm.name}__buckets"
                         )

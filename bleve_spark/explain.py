@@ -106,6 +106,29 @@ def bm25_term_explanation(
     )
 
 
+def constant_explanation(score: float, boost: float) -> Dict:
+    """Constant scorer explanation (ref: scorer_constant.go:74-126):
+    ConstantScore() = 1.0, wrapped in the queryWeight product when the
+    weight (boost x queryNorm) is not 1 — same tree shape as the
+    reference. `score` is the engine's actual hit score, so the root
+    value always equals what search() returned."""
+    score_expl = node(1.0, "ConstantScore()")
+    if score == 1.0:
+        return score_expl
+    query_weight = score  # constant is 1.0, so weight carries the rest
+    query_norm = score / boost if boost else 1.0
+    qw_expl = node(
+        query_weight,
+        f"ConstantScore()^{boost:f}, product of:",
+        [node(boost, "boost"), node(query_norm, "queryNorm")],
+    )
+    return node(
+        score,
+        f"weight(^{boost:f}), product of:",
+        [qw_expl, score_expl],
+    )
+
+
 def sum_explanation(doc_id: str, children: List[Dict]) -> Dict:
     """Conjunction: sum of child scores
     (ref: scorer_conjunction.go:44-71)."""

@@ -13,6 +13,23 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+# Vector similarity metrics (ref: util/knn.go:20-38). The reference's
+# names: "l2_norm" (euclidean, the DEFAULT) and "dot_product" (raw inner
+# product — cosine similarity when vectors are unit-normalized, per the
+# reference's own comment). "cosine" is an engine extension that
+# normalizes explicitly (true cosine regardless of vector norms).
+EUCLIDEAN_DISTANCE = "l2_norm"
+COSINE_SIMILARITY = "dot_product"
+COSINE = "cosine"
+DEFAULT_SIMILARITY_METRIC = EUCLIDEAN_DISTANCE
+SUPPORTED_SIMILARITY_METRICS = (
+    EUCLIDEAN_DISTANCE,
+    COSINE_SIMILARITY,
+    COSINE,
+)
+
+MAX_VECTOR_DIMS = 2048  # ref: mapping/mapping_vectors.go:84-87
+
 
 @dataclass
 class FieldMapping:
@@ -29,6 +46,36 @@ class FieldMapping:
     docvalues: bool = True
     include_term_vectors: bool = True  # positions in postings
     include_in_all: bool = True
+    # vector fields only (ref: mapping/field.go:74-79 Dims/Similarity):
+    # dims=0 is an engine extension meaning "infer from the data" (the
+    # reference requires an explicit 0 < dims <= 2048)
+    dims: int = 0
+    similarity: str = ""  # "" -> DEFAULT_SIMILARITY_METRIC for vectors
+
+
+def validate_vector_field(fm: FieldMapping) -> FieldMapping:
+    """Port of validateVectorField (ref: mapping/mapping_vectors.go:83-110):
+    bounds-check dims, default + validate the similarity metric, and
+    force the options that don't apply to vector fields. Mutates and
+    returns fm (matching the reference, which normalizes in place)."""
+    if fm.dims < 0 or fm.dims > MAX_VECTOR_DIMS:
+        raise ValueError(
+            "invalid vector dimension, value should be in range "
+            f"(0, {MAX_VECTOR_DIMS})"
+        )
+    if not fm.similarity:
+        fm.similarity = DEFAULT_SIMILARITY_METRIC
+    if fm.similarity not in SUPPORTED_SIMILARITY_METRICS:
+        raise ValueError(
+            f"invalid similarity metric: '{fm.similarity}', valid "
+            f"metrics are: {list(SUPPORTED_SIMILARITY_METRICS)}"
+        )
+    # not applicable for vector fields — forced like the reference
+    # (ref: mapping_vectors.go:93-99); the engine keeps store/docvalues
+    # because the vector column itself is how scoring reads the data
+    fm.include_in_all = False
+    fm.include_term_vectors = False
+    return fm
 
 
 @dataclass
@@ -44,6 +91,8 @@ class IndexMapping:
     dynamic: bool = True
 
     def add(self, fm: FieldMapping) -> "IndexMapping":
+        if fm.type == "vector":
+            validate_vector_field(fm)
         self.fields[fm.name] = fm
         return self
 

@@ -42,6 +42,52 @@ def cosine_to_query(
     return df.withColumn("cos", cos)
 
 
+def dot_to_query(
+    df: DataFrame, query_vec: Sequence[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds `dot` = raw inner product — the reference's "dot_product"
+    metric (ref: util/knn.go:22-28: equals cosine only for unit-norm
+    vectors; no normalization is applied, matching FAISS IndexFlatIP)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.withColumn("dot", _dot(F.col(vec_col), q))
+
+
+def l2sq_to_query(
+    df: DataFrame, query_vec: Sequence[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds `l2sq` = squared euclidean distance to the query — the
+    reference's default "l2_norm" metric (ref: util/knn.go:21,31; FAISS
+    L2 indexes report squared distances, which the KNN scorer then
+    inverts: search/scorer/scorer_knn.go:71-75)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sq = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("l2sq", sq)
+
+
+def brute_force_topk_l2(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Exact euclidean top-k (nearest = smallest squared distance):
+    distributed scan + TakeOrderedAndProject, like brute_force_topk."""
+    scored = l2sq_to_query(df, query_vec, vec_col)
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return (
+        scored.select(id_col, r4(F.col("l2sq")).alias("l2sq_r"))
+        .orderBy(F.asc("l2sq_r"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -67,7 +67,11 @@ class FacetRequest:
 @dataclass
 class KNNRequest:
     """ref: search_knn.go:42-49 (KNNRequest: field/vector/k/boost).
-    Scored by cosine similarity over the stored vector column."""
+    Scored over the stored vector column by the field mapping's
+    similarity metric: "l2_norm" (reference default — score is the
+    inverted squared distance, scorer_knn.go:71-75), "dot_product"
+    (raw inner product), or the engine-extension "cosine". Unmapped
+    ad-hoc vector columns score normalized cosine."""
 
     field: str
     vector: Sequence[float]
@@ -734,34 +738,20 @@ class Searcher:
                 for i, t in enumerate(q.terms)
             ]
             return self._plan_phrase(fld, slot_terms, b, q.slop)
-        if isinstance(q, Q.PrefixQuery):
+        if isinstance(
+            q,
+            (
+                Q.PrefixQuery,
+                Q.WildcardQuery,
+                Q.RegexpQuery,
+                Q.TermRangeQuery,
+            ),
+        ):
             return self._plan_multi_term(
-                fld, F.col("term").startswith(q.prefix), b
-            )
-        if isinstance(q, Q.WildcardQuery):
-            regex = _wildcard_to_regex(q.wildcard)
-            return self._plan_multi_term(fld, F.col("term").rlike(regex), b)
-        if isinstance(q, Q.RegexpQuery):
-            return self._plan_multi_term(
-                fld, F.col("term").rlike(f"^(?:{q.regexp})$"), b
+                fld, self._expansion_predicate(q), b
             )
         if isinstance(q, Q.FuzzyQuery):
             return self._plan_fuzzy(fld, q.term, q.fuzziness, q.prefix_length, b)
-        if isinstance(q, Q.TermRangeQuery):
-            pred = F.lit(True)
-            if q.min is not None:
-                pred = pred & (
-                    F.col("term") >= q.min
-                    if q.inclusive_min
-                    else F.col("term") > q.min
-                )
-            if q.max is not None:
-                pred = pred & (
-                    F.col("term") <= q.max
-                    if q.inclusive_max
-                    else F.col("term") < q.max
-                )
-            return self._plan_multi_term(fld, pred, b)
         if isinstance(q, Q.NumericRangeQuery):
             col = F.col(fld).cast("double")
             pred = F.lit(True)
@@ -991,6 +981,41 @@ class Searcher:
         if prefix_len > 0:
             pred = pred & F.col("term").startswith(term[:prefix_len])
         return self._plan_multi_term(fld, pred, boost)
+
+    def _expansion_predicate(self, q: Q.Query):
+        """Dictionary-slice predicate for an expansion query — shared by
+        the planner and explain() so both see the identical term set."""
+        if isinstance(q, Q.PrefixQuery):
+            return F.col("term").startswith(q.prefix)
+        if isinstance(q, Q.WildcardQuery):
+            return F.col("term").rlike(_wildcard_to_regex(q.wildcard))
+        if isinstance(q, Q.RegexpQuery):
+            return F.col("term").rlike(f"^(?:{q.regexp})$")
+        if isinstance(q, Q.FuzzyQuery):
+            pred = (
+                F.levenshtein(F.col("term"), F.lit(q.term)) <= q.fuzziness
+            )
+            if q.prefix_length > 0:
+                pred = pred & F.col("term").startswith(
+                    q.term[: q.prefix_length]
+                )
+            return pred
+        if isinstance(q, Q.TermRangeQuery):
+            pred = F.lit(True)
+            if q.min is not None:
+                pred = pred & (
+                    F.col("term") >= q.min
+                    if q.inclusive_min
+                    else F.col("term") > q.min
+                )
+            if q.max is not None:
+                pred = pred & (
+                    F.col("term") <= q.max
+                    if q.inclusive_max
+                    else F.col("term") < q.max
+                )
+            return pred
+        raise NotImplementedError(type(q).__name__)
 
     # -- execution -------------------------------------------------------
 
@@ -1384,17 +1409,63 @@ class Searcher:
             self.index.avg_len(fld),
         )
 
+    # query types scored by the constant scorer — explained like the
+    # reference's ConstantScorer (scorer_constant.go:74-126)
+    _CONSTANT_EXPLAIN_TYPES = (
+        Q.NumericRangeQuery,
+        Q.DateRangeQuery,
+        Q.BoolFieldQuery,
+        Q.DocIDQuery,
+        Q.IPRangeQuery,
+        Q.GeoShapeQuery,
+        Q.GeoDistanceQuery,
+        Q.GeoBoundingBoxQuery,
+        Q.GeoPolygonQuery,
+        Q.MatchAllQuery,
+    )
+
     def explain(self, q: Q.Query, doc_id: str) -> Optional[dict]:
         """Per-hit score explanation tree (ref: SearchRequest.Explain ->
-        DocumentMatch.Expl, scorer_term.go:117-170). Covers term-leaf
-        queries (term / match / conjunction / disjunction of terms) in
-        TF-IDF and BM25 modes, and (match_)phrase / multi_phrase
-        queries. Driver-side: one tiny posting fetch for one doc, like
-        the reference's per-DocumentMatch computation."""
+        DocumentMatch.Expl, scorer_term.go:117-170,
+        scorer_constant.go:74-126). Covers term-leaf queries (term /
+        match / conjunction / disjunction of terms) in TF-IDF and BM25
+        modes, (match_)phrase / multi_phrase, dictionary-expansion
+        queries (prefix / wildcard / regexp / fuzzy / term_range), and
+        every constant-scored type (numeric/date range, bool_field,
+        docid, ip_range, geo, geoshape, match_all) — the same universal
+        coverage as the reference's scorers. Driver-side: one tiny
+        posting fetch for one doc, like the reference's
+        per-DocumentMatch computation."""
         from . import explain as E
 
         if isinstance(q, (Q.MatchPhraseQuery, Q.PhraseQuery)):
             return self._explain_phrase(q, doc_id)
+        if isinstance(
+            q,
+            (
+                Q.PrefixQuery,
+                Q.WildcardQuery,
+                Q.RegexpQuery,
+                Q.FuzzyQuery,
+                Q.TermRangeQuery,
+            ),
+        ):
+            return self._explain_multi_term(q, doc_id)
+        if isinstance(q, Q.FilterQuery):
+            # doc must pass the filter predicate; the score (and thus
+            # the explanation) is entirely the child's
+            # (ref: searcher/search_filter.go — filter never scores)
+            keep = (
+                self.index.docs.where(F.expr(q.predicate))
+                .where(F.col("_id") == str(doc_id))
+                .select("docid")
+                .collect()
+            )
+            if not keep:
+                return None
+            return self.explain(q.child, doc_id)
+        if isinstance(q, self._CONSTANT_EXPLAIN_TYPES):
+            return self._explain_constant(q, doc_id)
         cand = self._wand_candidate(q)
         if cand is None:
             raise NotImplementedError(
@@ -1557,6 +1628,86 @@ class Searcher:
             return slot_children[0]
         return E.sum_explanation(str(doc_id), slot_children)
 
+    def _explain_multi_term(self, q, doc_id: str) -> Optional[dict]:
+        """Expansion-query explanation (prefix / wildcard / regexp /
+        fuzzy / term_range): one full term explanation per expanded term
+        present in the doc, combined exactly like _plan_multi_term
+        scores — TF-IDF applies the disjunction coord over the FULL
+        expansion size (scorer_disjunction.go:65-66), BM25 sums. Shares
+        _expansion_predicate with the planner, so explanation == score
+        by construction."""
+        from . import explain as E
+
+        fld = q.field or self.default_field()
+        pred = self._expansion_predicate(q)
+        slice_df = self.index.expansion(fld, pred)
+        n_terms = int(slice_df.count())
+        if n_terms == 0:
+            return None
+        doc = (
+            self.index.docs.where(F.col("_id") == str(doc_id))
+            .select("docid")
+            .collect()
+        )
+        if not doc:
+            return None
+        docid = doc[0]["docid"]
+        blocks = self.index.postings.where(
+            (F.col("field") == fld) & pred
+        )
+        rows = (
+            self.index.decoded(fld, [], blocks=blocks)
+            .where(F.col("docid") == docid)
+            .join(F.broadcast(slice_df), "term")
+            .select("term", "tf", "length", "df")
+            .collect()
+        )
+        if not rows:
+            return None
+        n = self.index.doc_count
+        children = []
+        for r in sorted(rows, key=lambda r: r["term"]):
+            idf = scoring.idf(self.similarity, n, int(r["df"]))
+            children.append(
+                self._term_expl(
+                    E, fld, r["term"], doc_id, int(r["tf"]),
+                    int(r["length"]), idf, int(r["df"]), n, q.boost,
+                    None,
+                )
+            )
+        if self.similarity == scoring.TFIDF:
+            return E.coord_explanation(
+                str(doc_id), children, len(children), n_terms
+            )
+        return E.sum_explanation(str(doc_id), children)
+
+    def _explain_constant(self, q, doc_id: str) -> Optional[dict]:
+        """Constant-scorer explanation (ref: scorer_constant.go:74-126):
+        the reference explains constant = 1.0 times the query weight
+        (boost x queryNorm; 1 for a bare leaf). Matching runs the real
+        plan restricted to this doc, so presence/absence agrees with
+        search() for every constant-scored type (ranges, docid,
+        ip_range, geo, geoshape, match_all)."""
+        from . import explain as E
+
+        doc = (
+            self.index.docs.where(F.col("_id") == str(doc_id))
+            .select("docid")
+            .collect()
+        )
+        if not doc:
+            return None
+        docid = doc[0]["docid"]
+        hit = (
+            self.matches(q)
+            .where(F.col("docid") == docid)
+            .select("score")
+            .collect()
+        )
+        if not hit:
+            return None
+        return E.constant_explanation(float(hit[0]["score"]), q.boost)
+
     def search(self, req: SearchRequest) -> SearchResult:
         if req.similarity != self.similarity:
             # never mutate shared planner state — two concurrent requests
@@ -1588,23 +1739,52 @@ class Searcher:
         if scored is None:
             scored = self.matches(req.query)
         for kr in req.knn:
-            # top-k by cosine over the stored vector column, then
-            # disjunction-merge with the query hits (score sum — ref:
-            # search_knn.go:165 knn hits merged as a disjunction).
+            # top-k by the field's similarity metric over the stored
+            # vector column, then disjunction-merge with the query hits
+            # (score sum — ref: search_knn.go:165 knn hits merged as a
+            # disjunction). Metric comes from the vector FieldMapping
+            # (ref: mapping/field.go:74-79, default l2_norm per
+            # util/knn.go:31); an unmapped ad-hoc vector column keeps
+            # the engine's historical normalized-cosine scoring.
             # Above knn_lsh_min_docs, candidates come from the
             # multi-probe LSH buckets instead of a full corpus scan
             # (the wand_min_postings cost-model pattern: the bucket
-            # UDF pass only pays off once the corpus dwarfs it)
+            # UDF pass only pays off once the corpus dwarfs it).
+            # The hyperplane-LSH prefilter is an ANGULAR family, so it
+            # applies to cosine/dot_product only; l2_norm always takes
+            # the exact scan — at cluster scale, unit-normalize the
+            # embeddings and use dot_product (rank-equivalent to l2 on
+            # unit vectors) to get the bucket route.
+            from .mapping import (
+                COSINE,
+                COSINE_SIMILARITY,
+                EUCLIDEAN_DISTANCE,
+                validate_vector_field,
+            )
             from .ops.similarity import (
                 LSH_N_PLANES,
                 LSH_N_TABLES,
                 cosine_to_query,
+                dot_to_query,
+                l2sq_to_query,
                 lsh_candidates,
                 lsh_candidates_tables,
             )
 
+            metric = COSINE
+            fm = (
+                self.index.mapping.fields.get(kr.field)
+                if self.index.mapping is not None
+                else None
+            )
+            if fm is not None and fm.type == "vector":
+                metric = validate_vector_field(fm).similarity
+
             cand = self.index.docs
-            if self.index.doc_count >= self.knn_lsh_min_docs:
+            if (
+                metric != EUCLIDEAN_DISTANCE
+                and self.index.doc_count >= self.knn_lsh_min_docs
+            ):
                 if self.knn_lsh_tables > 1:
                     pre = f"{kr.field}__buckets"
                     src = cand
@@ -1638,11 +1818,25 @@ class Searcher:
                         probe_hamming=self.knn_lsh_probe,
                         vec_col=kr.field,
                     )
+            if metric == EUCLIDEAN_DISTANCE:
+                # FAISS L2 reports squared distance; the reference KNN
+                # scorer inverts it into a similarity score
+                # (scorer_knn.go:71-75: score = 1/distance, +Inf on an
+                # exact match like Go float division)
+                sim_col = F.when(
+                    F.col("l2sq") == 0.0, F.lit(float("inf"))
+                ).otherwise(F.lit(1.0) / F.col("l2sq"))
+                knn_scored = l2sq_to_query(cand, kr.vector, kr.field)
+            elif metric == COSINE_SIMILARITY:
+                sim_col = F.col("dot")
+                knn_scored = dot_to_query(cand, kr.vector, kr.field)
+            else:
+                sim_col = F.col("cos")
+                knn_scored = cosine_to_query(cand, kr.vector, kr.field)
             knn_scored = (
-                cosine_to_query(cand, kr.vector, kr.field)
-                .select(
+                knn_scored.select(
                     "docid",
-                    (F.col("cos") * F.lit(kr.boost)).alias("score"),
+                    (sim_col * F.lit(kr.boost)).alias("score"),
                 )
                 .orderBy(F.desc("score"), "docid")
                 .limit(kr.k)

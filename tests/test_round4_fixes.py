@@ -136,6 +136,126 @@ def test_n_planes_int32_guard(spark, vec_df):
         sim.lsh_band_keys(vec_df, 8, n_bands=2, bits_per_band=32)
 
 
+# -- kNN similarity metrics (verdict item 3) --------------------------------
+# ref: util/knn.go:20-38 (l2_norm default, dot_product),
+# mapping/mapping_vectors.go:83-110 (validateVectorField)
+
+
+def test_validate_vector_field_reference_cases():
+    from bleve_spark.mapping import validate_vector_field
+
+    # invalid dims (ref: "invalid vector dimension ... (0, 2048)")
+    for bad in (-1, 2049):
+        with pytest.raises(ValueError, match="invalid vector dimension"):
+            validate_vector_field(
+                FieldMapping(name="v", type="vector", dims=bad)
+            )
+    # empty similarity -> the reference default
+    fm = validate_vector_field(FieldMapping(name="v", type="vector"))
+    assert fm.similarity == "l2_norm"
+    # invalid metric names the valid set (ref error shape)
+    with pytest.raises(ValueError, match="invalid similarity metric"):
+        validate_vector_field(
+            FieldMapping(name="v", type="vector", similarity="euclidean")
+        )
+    # vector-inapplicable options forced off
+    fm2 = validate_vector_field(
+        FieldMapping(name="v", type="vector", similarity="dot_product")
+    )
+    assert fm2.include_in_all is False
+    assert fm2.include_term_vectors is False
+    # IndexMapping.add validates too
+    with pytest.raises(ValueError):
+        IndexMapping().add(
+            FieldMapping(name="v", type="vector", similarity="nope")
+        )
+
+
+@pytest.fixture(scope="module")
+def metric_index(spark, tmp_path_factory):
+    from bleve_spark import IndexBuilder
+
+    path = str(tmp_path_factory.mktemp("knn_metric") / "idx")
+    corpus = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0, 0.0]),
+            ("b", [2.0, 0.0, 0.0]),  # same direction, double norm
+            ("c", [0.0, 1.0, 0.0]),
+        ],
+        "id string, embedding array<double>",
+    )
+    m = IndexMapping(dynamic=False).add(
+        FieldMapping(name="embedding", type="vector")  # default l2_norm
+    )
+    IndexBuilder(spark, m, path).build(corpus, id_expr=F.col("id"))
+    return path
+
+
+def _knn_hits(spark, path, mapping, vec, k=3):
+    from bleve_spark import SearchIndex, Searcher
+    from bleve_spark.search import KNNRequest, SearchRequest
+    from bleve_spark import query as Qm
+
+    s = Searcher(SearchIndex(spark, path, mapping))
+    res = s.search(
+        SearchRequest(
+            query=Qm.MatchNoneQuery(),
+            knn=[KNNRequest(field="embedding", vector=vec, k=k)],
+            size=k,
+        )
+    )
+    return [(r["_id"], r["score"]) for r in res.hits.collect()]
+
+
+def test_knn_l2_default_metric_scoring(spark, metric_index):
+    # default mapping metric = l2_norm: score = 1/d^2, exact match = +inf
+    m = IndexMapping(dynamic=False).add(
+        FieldMapping(name="embedding", type="vector")
+    )
+    hits = _knn_hits(spark, metric_index, m, [1.0, 0.0, 0.0])
+    assert [h[0] for h in hits] == ["a", "b", "c"]
+    assert hits[0][1] == float("inf")  # d=0 (ref: Go 1.0/0.0 = +Inf)
+    assert hits[1][1] == pytest.approx(1.0)  # d^2 = 1
+    assert hits[2][1] == pytest.approx(0.5)  # d^2 = 2
+
+
+def test_knn_dot_product_metric_scoring(spark, metric_index):
+    # dot_product = RAW inner product (ref util/knn.go:22-28): the
+    # double-norm vector b outranks the exact-direction unit vector a
+    m = IndexMapping(dynamic=False).add(
+        FieldMapping(
+            name="embedding", type="vector", similarity="dot_product"
+        )
+    )
+    hits = _knn_hits(spark, metric_index, m, [1.0, 0.0, 0.0])
+    assert [h[0] for h in hits] == ["b", "a", "c"]
+    assert hits[0][1] == pytest.approx(2.0)
+    assert hits[1][1] == pytest.approx(1.0)
+
+
+def test_knn_cosine_extension_metric_scoring(spark, metric_index):
+    # engine-extension "cosine": normalized — a and b tie at 1.0
+    m = IndexMapping(dynamic=False).add(
+        FieldMapping(name="embedding", type="vector", similarity="cosine")
+    )
+    hits = _knn_hits(spark, metric_index, m, [1.0, 0.0, 0.0])
+    assert sorted(h[0] for h in hits[:2]) == ["a", "b"]
+    assert hits[0][1] == pytest.approx(1.0)
+    assert hits[1][1] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_l2(spark, metric_index):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = sim.brute_force_topk_l2(df, [0.0, 0.0], k=2).collect()
+    assert [(r["vec_id"], r["l2sq_r"]) for r in got] == [
+        (1, 0.0),
+        (3, 2.0),
+    ]
+
+
 # -- 4. _MAPPING.json overwrite on rebuild ----------------------------------
 
 
