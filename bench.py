@@ -268,6 +268,51 @@ def timed(fn, reps=QUERY_REPS):
     return round(statistics.median(times), 3)
 
 
+def make_jvm_query_control(spark):
+    """Fixed pure-JVM control query interleaved with every benchmark
+    query's repetitions: a codegen hash-agg top-k over a deterministic
+    range — no Python workers, no disk, constant work. Its run-to-run
+    movement is the HOST's noise (shared-VM contention), so
+    query_sec / control_sec is a host-normalized latency that makes
+    cross-round regressions decidable from the bench file alone
+    (round-3 verdict item: q_bool_conj/q_match_topk moved +35%/+22%
+    on an unchanged code path)."""
+    from pyspark.sql import functions as F
+
+    def ctrl():
+        (
+            spark.range(0, 12_000_000, 1, N_HIGH * 2)
+            .select(
+                ((F.col("id") * 2654435761) % 1000003).alias("k"),
+                (F.col("id") % 97).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .orderBy(F.desc("s"), "k")
+            .limit(10)
+            .collect()
+        )
+
+    return ctrl
+
+
+def timed_with_control(fn, ctrl, reps=QUERY_REPS):
+    """Interleave ctrl/fn reps (c q c q ...) so both see the same host
+    drift window; -> (query_median, ctrl_median)."""
+    q_times, c_times = [], []
+    for _ in range(reps):
+        t0 = time.time()
+        ctrl()
+        c_times.append(time.time() - t0)
+        t0 = time.time()
+        fn()
+        q_times.append(time.time() - t0)
+    return (
+        round(statistics.median(q_times), 3),
+        round(statistics.median(c_times), 3),
+    )
+
+
 def run_queries(spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -285,6 +330,12 @@ def run_queries(spark) -> dict:
     )
     s = Searcher(idx)
     out = {}
+    ctl = {}
+    ctrl = make_jvm_query_control(spark)
+    ctrl()  # warm the control's codegen once, outside every timer
+
+    def meas(name, fn, reps=QUERY_REPS):
+        out[name], ctl[name] = timed_with_control(fn, ctrl, reps)
 
     def topk(q, sim=scoring.TFIDF, size=10):
         def run():
@@ -295,17 +346,18 @@ def run_queries(spark) -> dict:
         return run
 
     uniq = "uniq" + "".join("abcdefghij"[int(c)] for c in str(CORPUS_N // 2))
-    out["q_term_exact"] = timed(topk(Q.TermQuery(field="content", term=uniq)))
-    out["q_term_hot"] = timed(
-        topk(Q.TermQuery(field="content", term="license"))
+    meas("q_term_exact", topk(Q.TermQuery(field="content", term=uniq)))
+    meas("q_term_hot", topk(Q.TermQuery(field="content", term="license")))
+    meas(
+        "q_term_hot_bm25",
+        topk(Q.TermQuery(field="content", term="license"), scoring.BM25),
     )
-    out["q_term_hot_bm25"] = timed(
-        topk(Q.TermQuery(field="content", term="license"), scoring.BM25)
+    meas(
+        "q_phrase",
+        topk(Q.MatchPhraseQuery(field="content", text="apache license")),
     )
-    out["q_phrase"] = timed(
-        topk(Q.MatchPhraseQuery(field="content", text="apache license"))
-    )
-    out["q_bool_conj"] = timed(
+    meas(
+        "q_bool_conj",
         topk(
             Q.BooleanQuery(
                 must=[
@@ -314,24 +366,25 @@ def run_queries(spark) -> dict:
                 ],
                 must_not=[Q.TermQuery(field="content", term="license")],
             )
-        )
+        ),
     )
-    out["q_match_topk"] = timed(
-        topk(Q.MatchQuery(field="content", text="parse index stream"))
+    meas(
+        "q_match_topk",
+        topk(Q.MatchQuery(field="content", text="parse index stream")),
     )
-    out["q_match_topk_bm25"] = timed(
+    meas(
+        "q_match_topk_bm25",
         topk(
             Q.MatchQuery(field="content", text="parse index stream"),
             scoring.BM25,
-        )
+        ),
     )
     # 1-char prefix: DataFrame-native dictionary expansion. "u" matches
     # every per-doc uniq### token (~CORPUS_N distinct terms) — the
     # driver never materializes the term list (broadcast/shuffle join
     # of the dictionary slice into the postings scan)
-    out["q_prefix_1char"] = timed(
-        topk(Q.PrefixQuery(field="content", prefix="u")), reps=3
-    )
+    meas("q_prefix_1char", topk(Q.PrefixQuery(field="content", prefix="u")),
+         reps=3)
 
     # ops over the driver's sf tables
     import __spark_entry__ as entrymod
@@ -340,16 +393,14 @@ def run_queries(spark) -> dict:
         "dedup_minhash_lsh", "dedup_simhash", "knn_cosine", "text_quality"
     ):
         fn = entrymod.queries()[name]
-        out[f"op_{name}"] = timed(lambda: fn(spark, SF_DIR).collect(), reps=3)
+        meas(f"op_{name}", lambda fn=fn: fn(spark, SF_DIR).collect(), reps=3)
     # hot+hot exact phrase over the sf documents index (the <1 s
     # round-3 target); the one-time index build + JIT warm runs
     # outside the timer, so all reps are steady-state
     fn = entrymod.queries()["ft_phrase"]
     fn(spark, SF_DIR).collect()  # build/warm outside the timer
-    out["q_phrase_sfdocs"] = timed(
-        lambda: fn(spark, SF_DIR).collect(), reps=3
-    )
-    return out
+    meas("q_phrase_sfdocs", lambda: fn(spark, SF_DIR).collect(), reps=3)
+    return out, ctl
 
 
 def build_both() -> tuple:
@@ -415,7 +466,7 @@ def main():
     from bleve_spark.session import get_spark
 
     spark = get_spark(master=f"local[{N_HIGH}]", app_name="bench_queries")
-    queries = run_queries(spark)
+    queries, controls = run_queries(spark)
 
     result = {
         "metric": "index-build docs/sec + query latency (code corpus "
@@ -423,6 +474,15 @@ def main():
         "value": round(time.time() - t_start, 2),
         "unit": "sec",
         "queries": queries,
+        # per-query interleaved JVM-control medians + host-normalized
+        # latencies (query_sec / control_sec): compare THESE across
+        # rounds — the control soaks up shared-VM drift
+        "query_controls": controls,
+        "queries_normalized": {
+            k: round(queries[k] / controls[k], 2)
+            for k in queries
+            if controls.get(k)
+        },
         "sf": SF_DIR,
         "build": {
             "low": b_low,

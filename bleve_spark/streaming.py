@@ -146,3 +146,112 @@ def streaming_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def has_tws_runtime() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; the worker needs the `protobuf` python package
+    (pyspark.sql.streaming.proto imports google.protobuf). Absent in
+    this sandbox (no pip), present on any standard cluster image."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+try:  # class definition only needs the pure-python ABC, not protobuf
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ExactDedupProcessor(StatefulProcessor):
+        """transformWithState exact-dedup processor — same semantics as
+        streaming_dedup's applyInPandasWithState closure, on the newer
+        engine-backed state API (SPARK-49564): named ValueState rows
+        live in the RocksDB state store, and the runtime supports state
+        -schema EVOLUTION (adding nullable fields) across restarts —
+        the property the older API lacks.
+
+        State v1 was (first_id); v2 appends a nullable `seen` count.
+        `_read_state` tolerates v1 rows (seen=None -> 1) so a query
+        checkpointed under the old schema resumes under the new one —
+        exercised by the fake-harness test without the state server.
+        """
+
+        STATE_SCHEMA = "first_id string, seen int"
+
+        def __init__(self, id_col: str = "doc_id"):
+            self.id_col = id_col
+
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._state = handle.getValueState("dedup", self.STATE_SCHEMA)
+
+        def _read_state(self):
+            if not self._state.exists():
+                return None, 0
+            row = tuple(self._state.get())
+            first_id = row[0]
+            # v1 checkpoints carry no count column (schema evolution:
+            # new nullable field reads back as None)
+            seen = row[1] if len(row) > 1 and row[1] is not None else 1
+            return first_id, seen
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            first_id, seen = self._read_state()
+            out = []
+            for pdf in rows:
+                for doc_id in pdf[self.id_col].astype(str):
+                    if first_id is None:
+                        first_id, seen = doc_id, 1
+                    else:
+                        seen += 1
+                        out.append((doc_id, first_id, key[0], seen))
+            self._state.update((first_id, seen))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "dup_of", "text_hash", "nth"]
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - pyspark<4 fallback
+    ExactDedupProcessor = None
+
+
+def streaming_dedup_tws(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+):
+    """streaming_dedup on transformWithStateInPandas (the successor
+    state API): RocksDB-backed named state + schema evolution. Needs
+    the RocksDB state store provider on the session::
+
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+
+    Raises RuntimeError where the python `protobuf` package is missing
+    (the worker-side state protocol needs it; see has_tws_runtime).
+    """
+    if ExactDedupProcessor is None:
+        raise RuntimeError(
+            "transformWithStateInPandas requires pyspark >= 4.0"
+        )
+    if not has_tws_runtime():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the python 'protobuf' "
+            "package (state-server protocol); unavailable in this "
+            "environment — use streaming_dedup (applyInPandasWithState)"
+        )
+    hashed = stream.where(F.col(text_col).isNotNull()).withColumn(
+        "text_hash", F.md5(F.col(text_col))
+    )
+    return hashed.groupBy("text_hash").transformWithStateInPandas(
+        statefulProcessor=ExactDedupProcessor(id_col=id_col),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -243,3 +243,202 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     for doc_id, (dup_of, nth) in dups.items():
         assert text_of[doc_id] == text_of[dup_of]
         assert nth >= 2
+
+
+# -- round-4: transformWithState processor + 50-batch compaction bound ------
+
+
+class _FakeValueState:
+    """Minimal stand-in for the TWS ValueState client (the real one
+    needs the protobuf state-server protocol, absent in this sandbox —
+    streaming.has_tws_runtime). Mirrors exists/get/update."""
+
+    def __init__(self, row=None):
+        self._row = row
+
+    def exists(self):
+        return self._row is not None
+
+    def get(self):
+        return self._row
+
+    def update(self, row):
+        self._row = tuple(row)
+
+
+class _FakeHandle:
+    def __init__(self, state):
+        self._s = state
+
+    def getValueState(self, name, schema, ttl=None):
+        return self._s
+
+
+def _run_processor(proc, state, batches):
+    """Drive ExactDedupProcessor.handleInputRows as the TWS runtime
+    would: one grouped key, a sequence of micro-batches."""
+    import pandas as pd
+
+    proc.init(_FakeHandle(state))
+    out = []
+    for pdfs in batches:
+        for res in proc.handleInputRows(
+            ("HASH",), iter(pdfs), timerValues=None
+        ):
+            out.append(res)
+    proc.close()
+    return pd.concat(out, ignore_index=True) if out else None
+
+
+def test_tws_dedup_processor_logic():
+    """ExactDedupProcessor semantics match streaming_dedup: first doc
+    per content hash passes, later ones emit (dup_of, nth) — state
+    carried across micro-batches."""
+    import pandas as pd
+
+    from bleve_spark.streaming import ExactDedupProcessor
+
+    state = _FakeValueState()
+    out = _run_processor(
+        ExactDedupProcessor(),
+        state,
+        [
+            [pd.DataFrame({"doc_id": ["a"]})],
+            [pd.DataFrame({"doc_id": ["b", "c"]})],
+        ],
+    )
+    assert list(out["doc_id"]) == ["b", "c"]
+    assert list(out["dup_of"]) == ["a", "a"]
+    assert list(out["nth"]) == [2, 3]
+    assert state.get() == ("a", 3)
+
+
+def test_tws_dedup_state_schema_evolution():
+    """A v1 checkpoint row (first_id only — `seen` added later as a
+    nullable column, the evolution TWS supports and the old API does
+    not) resumes correctly: count restarts from 1, dup_of survives."""
+    import pandas as pd
+
+    from bleve_spark.streaming import ExactDedupProcessor
+
+    for legacy in [("a",), ("a", None)]:
+        state = _FakeValueState(legacy)
+        out = _run_processor(
+            ExactDedupProcessor(),
+            state,
+            [[pd.DataFrame({"doc_id": ["z"]})]],
+        )
+        assert list(out["dup_of"]) == ["a"]
+        assert list(out["nth"]) == [2]
+        assert state.get() == ("a", 2)
+
+
+@pytest.mark.skipif(
+    not __import__("bleve_spark.streaming", fromlist=["x"]).has_tws_runtime(),
+    reason="transformWithStateInPandas needs python protobuf "
+    "(state-server protocol) — unavailable in this sandbox",
+)
+def test_streaming_dedup_tws_end_to_end(spark, tmp_path):
+    """Full transformWithStateInPandas run (RocksDB state store).
+    Skipped here; runs on any image with `protobuf` installed."""
+    import json as _json
+
+    from bleve_spark.streaming import streaming_dedup_tws
+
+    src = str(tmp_path / "tsrc")
+    ckpt = str(tmp_path / "tckpt")
+    os.makedirs(src)
+    for i, batch in enumerate(
+        [[("a", "red fox"), ("b", "blue cow")], [("c", "red fox")]]
+    ):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for doc_id, text in batch:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_dedup_tws(stream)
+        .writeStream.format("memory")
+        .queryName("twsdup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from twsdup").collect()
+    assert [(r["doc_id"], r["dup_of"]) for r in rows] == [("c", "a")]
+
+
+def test_streaming_dedup_tws_raises_without_runtime(spark, tmp_path):
+    from bleve_spark import streaming as S
+
+    if S.has_tws_runtime():
+        pytest.skip("protobuf present — covered by the e2e test")
+    src = str(tmp_path / "esrc")
+    os.makedirs(src)
+    stream = spark.readStream.schema("doc_id string, text string").json(src)
+    with pytest.raises(RuntimeError, match="protobuf"):
+        S.streaming_dedup_tws(stream)
+
+
+def test_streaming_tiered_merge_50_batches(spark, tmp_path):
+    """Verdict item 7 bound: 50 micro-batches through ONE streaming
+    query (maxFilesPerTrigger=1) with compact_every=4 — the tiered
+    merger must hold the segment count to a logarithmic-ish bound, not
+    50, and every doc stays searchable exactly once."""
+    import json as _json
+
+    from bleve_spark.writer import MergePlanOptions, segment_metas
+
+    src = str(tmp_path / "msrc")
+    idx = str(tmp_path / "midx")
+    ckpt = str(tmp_path / "mckpt")
+    os.makedirs(src)
+    n_batches, per_batch = 50, 2
+    for wave in range(n_batches):
+        with open(f"{src}/w{wave:03d}.json", "w") as f:
+            for i in range(per_batch):
+                f.write(
+                    _json.dumps(
+                        {"_id": f"w{wave}d{i}", "body": f"common tok{wave}"}
+                    )
+                    + "\n"
+                )
+    m = _mapping()
+    w = IndexWriter(spark, m, idx)
+    stream = (
+        spark.readStream.schema("_id string, body string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = stream_index(
+        w,
+        stream,
+        checkpoint=ckpt,
+        compact_every=4,
+        merge_opts=MergePlanOptions(
+            max_segments_per_tier=2,
+            segments_per_merge_task=4,
+            floor_segment_size=8,
+        ),
+    )
+    q.awaitTermination()
+    n_seg = len(segment_metas(idx))
+    # 50 unmerged segments must have folded hard; 12 allows tier
+    # residue but proves continuous compaction kept up
+    assert n_seg <= 12, n_seg
+    res = Searcher(SearchIndex(spark, idx, m)).search(
+        SearchRequest(query=parse_query({"term": "common"}), size=200)
+    )
+    ids = [r["_id"] for r in res.hits.collect()]
+    assert len(ids) == n_batches * per_batch
+    assert len(set(ids)) == len(ids)
