@@ -1042,6 +1042,63 @@ ORDER BY l2sq_r ASC, vec_id LIMIT 10
 """
 
 
+def _q_knn_dot_product(spark, sf_dir):
+    """SearchRequest.knn under the reference's "dot_product" metric
+    (util/knn.go:33 — raw inner product as the hit score,
+    scorer_knn.go:66-69): third of the three reference metrics. The
+    angular LSH prefilter applies (dot is an angular family on the
+    bucketed hyperplane signs); probe == planes makes the bucket route
+    full-recall, so the DuckDB inner-product top-k is an exact oracle
+    while the plan still exercises the persisted-bucket prefilter."""
+    from bleve_spark.mapping import FieldMapping, IndexMapping
+
+    idx = _vec_index(spark, sf_dir)  # reuse the built index tables
+    dot_mapping = IndexMapping(
+        fields={
+            "embedding": FieldMapping(
+                name="embedding", type="vector", similarity="dot_product"
+            )
+        },
+        dynamic=False,
+    )
+    s = Searcher(
+        SearchIndex(spark, idx.index_path, dot_mapping),
+        knn_lsh_min_docs=0,
+        knn_lsh_probe=16,
+        knn_lsh_tables=4,
+    )
+    res = s.search(
+        SearchRequest(
+            query=Q.MatchNoneQuery(),
+            knn=[
+                KNNRequest(
+                    field="embedding",
+                    vector=_query_vec(spark, sf_dir),
+                    k=11,
+                )
+            ],
+            size=11,
+            fields=("vec_id",),
+        )
+    )
+    return (
+        res.hits.where(F.col("vec_id") != 0)
+        .select("vec_id", r4(F.col("score")).alias("dot_r"))
+        .orderBy(F.desc("dot_r"), "vec_id")
+        .limit(10)
+    )
+
+
+_SQL_KNN_DOT = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id=0)
+SELECT vec_id,
+       {R4("list_sum(list_transform(list_zip(embedding, q.qv),"
+           " x -> x[1]*x[2]))")} AS dot_r
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY dot_r DESC, vec_id LIMIT 10
+"""
+
+
 # -- text analysis ----------------------------------------------------------
 
 
@@ -1388,6 +1445,7 @@ _REGISTRY: dict[str, tuple] = {
     "knn_lsh": (_q_knn_lsh, _SQL_KNN_LSH),
     "knn_vector_field": (_q_knn_vector_field, _SQL_KNN),
     "knn_l2": (_q_knn_l2, _SQL_KNN_L2),
+    "knn_dot_product": (_q_knn_dot_product, _SQL_KNN_DOT),
     "emb_neardup": (_q_emb_neardup, _SQL_EMB_NEARDUP),
     "text_token_count": (_q_text_token_count, _SQL_TOKEN_COUNT),
     "text_quality": (_q_text_quality, _SQL_QUALITY),
