@@ -884,6 +884,33 @@ ORDER BY cos_r DESC, vec_id LIMIT 10
 """
 
 
+def _q_knn_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (ops/ivf.py — the FAISS IndexIVFFlat
+    pattern as DataFrame ops; the second scale path beside the angular
+    LSH route). Deterministic seeded k-means fit, ingest-style cell
+    stamping, candidate filter = pure-JVM IN-list on the stamped cell.
+    nprobe == n_cells here, so the scan is exhaustive and the DuckDB
+    cosine top-k is an exact oracle while the plan still exercises
+    fit/assign/probe (the knn_lsh oracle pattern)."""
+    from bleve_spark.ops import ivf
+
+    emb = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cents = ivf.ivf_fit(emb, n_cells=8, iters=3, seed=7)
+    stamped = ivf.assign_cells(emb, cents)
+    return (
+        ivf.ivf_topk(
+            stamped,
+            cents,
+            _query_vec(spark, sf_dir),
+            k=10,
+            nprobe=8,
+            id_col="vec_id",
+        )
+        .select("vec_id", r4(F.col("cos")).alias("cos_r"))
+        .orderBy(F.desc("cos_r"), "vec_id")
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     # Scalable path: banded-LSH candidate generation + exact cosine filter
     # (ops/similarity.all_pairs_above) — no all-pairs join in the plan.
@@ -1442,6 +1469,7 @@ _REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _SQL_DEDUP_MINHASH),
     "dedup_simhash": (_q_dedup_simhash, _sql_dedup_simhash()),
     "knn_cosine": (_q_knn_cosine, _SQL_KNN),
+    "knn_ivf": (_q_knn_ivf, _SQL_KNN),
     "knn_lsh": (_q_knn_lsh, _SQL_KNN_LSH),
     "knn_vector_field": (_q_knn_vector_field, _SQL_KNN),
     "knn_l2": (_q_knn_l2, _SQL_KNN_L2),

@@ -1,0 +1,176 @@
+"""IVF (inverted-file) approximate nearest neighbour over embedding
+columns — the coarse-quantizer scale path (the FAISS IndexIVFFlat
+pattern re-expressed as DataFrame ops; complements the angular LSH
+route in ops/similarity.py, which the reference's util/knn.go wraps
+via FAISS).
+
+Shape at 100 TB:
+
+- ``ivf_fit`` runs seeded Lloyd iterations on a deterministic
+  hash-sampled subset (never the corpus): the assign step is one
+  Arrow-batched matmul per partition against the broadcast centroid
+  matrix, the update step is ``posexplode → groupBy(cell, dim) partial
+  avg``, so each iteration collects exactly n_cells × dim floats to
+  the driver — centroids, not data.
+- ``assign_cells`` stamps a persisted ``ivf_cell`` column at ingest
+  (same pattern as the ``<field>__buckets`` LSH columns, PLANS.md
+  §11); writers can ``repartition(cell)`` so a query's nprobe cells
+  map to a bounded set of files — partition-prunable candidate
+  selection, no per-query pass over the corpus.
+- ``ivf_topk`` ranks the centroid table against the query ON THE
+  DRIVER (an n_cells × dim matmul — tiny by construction), filters
+  ``cell IN top-nprobe`` (pushes down to the scan), and scores only
+  the survivors with the exact JVM metric expressions. nprobe ==
+  n_cells degenerates to the exhaustive scan, which makes the exact
+  brute-force top-k a true oracle for the whole route (the knn_lsh
+  oracle pattern).
+
+Everything is deterministic under a fixed seed: sampling and init
+order by a content hash, numpy argmin ties break to the lowest cell.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import cosine_to_query, dot_to_query, l2sq_to_query
+
+_METRIC_COLS = {"cosine": "cos", "dot_product": "dot", "l2_norm": "l2sq"}
+
+
+def _content_hash(vec_col: str):
+    # deterministic, order-independent sample key: hash the vector's
+    # JSON rendering (stable formatting for float32-sourced values)
+    return F.xxhash64(F.to_json(F.struct(F.col(vec_col))))
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid argmin. ||v-c||² = ||v||² - 2v·c
+    + ||c||²; ||v||² is constant per row, so argmin over (−2v·c+||c||²)
+    — one (batch × dim)·(dim × k) matmul per Arrow batch."""
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs]
+        )
+        scores = c_sq[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    iters: int = 4,
+    seed: int = 7,
+    sample: int = 100_000,
+) -> np.ndarray:
+    """Seeded Lloyd k-means over a deterministic hash-sample; returns
+    the (n_cells, dim) centroid matrix. Raises if the corpus cannot
+    seat one distinct vector per cell."""
+    keyed = df.select(
+        F.col(vec_col).alias("v"),
+        (_content_hash(vec_col) + F.lit(int(seed))).alias("hk"),
+    )
+    pool = keyed.orderBy("hk").limit(int(sample)).select("v")
+    pool = pool.persist()
+    try:
+        n_pool = pool.count()
+        if n_pool < n_cells:
+            raise ValueError(
+                f"ivf_fit: n_cells={n_cells} exceeds the {n_pool}-vector "
+                f"sample; lower n_cells or raise `sample`"
+            )
+        cents = np.asarray(
+            [
+                np.asarray(r["v"], dtype=np.float64)
+                for r in keyed.orderBy("hk").limit(n_cells).collect()
+            ]
+        )
+        for _ in range(int(iters)):
+            assigned = pool.select(
+                _assign_udf(cents)(F.col("v")).alias("cell"),
+                F.posexplode("v").alias("dim", "x"),
+            )
+            rows = (
+                assigned.groupBy("cell", "dim")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            nxt = cents.copy()  # empty cells keep their centroid
+            for r in rows:
+                nxt[r["cell"], r["dim"]] = r["m"]
+            if np.allclose(nxt, cents):
+                break
+            cents = nxt
+        return cents
+    finally:
+        pool.unpersist()
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Stamp each row's nearest-centroid id — run once at ingest and
+    persist (the LSH `__buckets` pattern); one Arrow matmul pass."""
+    return df.withColumn(out_col, _assign_udf(centroids)(F.col(vec_col)))
+
+
+def _rank_cells(centroids: np.ndarray, query_vec: Sequence[float]):
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    return np.argsort(d, kind="stable")
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    cell_col: str = "ivf_cell",
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-k by `metric` scanning only the nprobe cells nearest the
+    query. With a persisted cell column the candidate filter is a
+    pure-JVM IN-list that pushes down to the scan; unstamped inputs
+    pay one assignment pass (documented fallback, like the
+    bucket-less LSH route)."""
+    if metric not in _METRIC_COLS:
+        raise ValueError(
+            f"metric must be one of {sorted(_METRIC_COLS)}; got {metric!r}"
+        )
+    nprobe = min(int(nprobe), len(centroids))
+    cells = [int(c) for c in _rank_cells(centroids, query_vec)[:nprobe]]
+    cand = df
+    if cell_col not in cand.columns:
+        cand = assign_cells(cand, centroids, vec_col, cell_col)
+    cand = cand.where(F.col(cell_col).isin(cells))
+    score_col = _METRIC_COLS[metric]
+    if metric == "cosine":
+        scored = cosine_to_query(cand, query_vec, vec_col)
+    elif metric == "dot_product":
+        scored = dot_to_query(cand, query_vec, vec_col)
+    else:
+        scored = l2sq_to_query(cand, query_vec, vec_col)
+    order = (
+        F.asc(score_col) if metric == "l2_norm" else F.desc(score_col)
+    )
+    ordering = [order]
+    if id_col is not None:
+        ordering.append(F.asc(id_col))
+    return scored.orderBy(*ordering).limit(int(k))

@@ -1,0 +1,127 @@
+"""IVF coarse-quantizer ANN (bleve_spark/ops/ivf.py): deterministic
+fit, ingest-time cell stamping, exactness at nprobe == n_cells, recall
+on clustered data at nprobe << n_cells."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bleve_spark.ops import ivf
+from bleve_spark.ops.similarity import brute_force_topk
+
+
+def _clustered(spark, n=400, dim=8, n_clusters=8, sigma=0.05, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        v = centers[c] + sigma * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    return (
+        spark.createDataFrame(rows, "vec_id int, embedding array<double>"),
+        centers,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _clustered(spark)
+
+
+def test_fit_is_deterministic(spark, corpus):
+    df, _ = corpus
+    a = ivf.ivf_fit(df, n_cells=8, iters=3, seed=11)
+    b = ivf.ivf_fit(df, n_cells=8, iters=3, seed=11)
+    assert a.shape == (8, 8)
+    np.testing.assert_allclose(a, b)
+
+
+def test_fit_rejects_more_cells_than_sample(spark, corpus):
+    df, _ = corpus
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf.ivf_fit(df, n_cells=64, sample=32)
+
+
+def test_assign_cells_range_and_determinism(spark, corpus):
+    df, _ = corpus
+    cents = ivf.ivf_fit(df, n_cells=8, iters=3)
+    stamped = ivf.assign_cells(df, cents)
+    cells = [r["ivf_cell"] for r in stamped.select("ivf_cell").collect()]
+    assert len(cells) == 400
+    assert all(0 <= c < 8 for c in cells)
+    again = [
+        r["ivf_cell"]
+        for r in ivf.assign_cells(df, cents).select("ivf_cell").collect()
+    ]
+    assert cells == again
+
+
+def test_exhaustive_probe_matches_brute_force(spark, corpus):
+    """nprobe == n_cells scans everything — results must equal the
+    brute-force metric top-k exactly (the oracle identity the driver
+    gate uses for the LSH route)."""
+    df, _ = corpus
+    cents = ivf.ivf_fit(df, n_cells=8, iters=3)
+    stamped = ivf.assign_cells(df, cents).persist()
+    q = [r["embedding"] for r in stamped.where("vec_id = 7").collect()][0]
+    try:
+        got = ivf.ivf_topk(
+            stamped, cents, q, k=10, nprobe=8, id_col="vec_id"
+        ).select("vec_id", F.round("cos", 4).alias("c"))
+        want = brute_force_topk(stamped.drop("ivf_cell"), q, k=10).select(
+            "vec_id", F.col("cos_r").alias("c")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        stamped.unpersist()
+
+
+def test_low_probe_recall_on_clustered_data(spark, corpus):
+    """With clear cluster structure, nprobe=2 of 8 cells must recover
+    nearly all true neighbours (they live in the query's own cell)."""
+    df, _ = corpus
+    cents = ivf.ivf_fit(df, n_cells=8, iters=4)
+    stamped = ivf.assign_cells(df, cents).persist()
+    try:
+        hits = 0
+        for qid in (0, 1, 2):
+            q = [
+                r["embedding"]
+                for r in stamped.where(f"vec_id = {qid}").collect()
+            ][0]
+            got = {
+                r["vec_id"]
+                for r in ivf.ivf_topk(
+                    stamped, cents, q, k=10, nprobe=2, id_col="vec_id"
+                ).collect()
+            }
+            want = {
+                r["vec_id"]
+                for r in brute_force_topk(
+                    stamped.drop("ivf_cell"), q, k=10
+                ).collect()
+            }
+            hits += len(got & want)
+        assert hits >= 27, hits  # recall@10 >= 0.9 over 3 queries
+    finally:
+        stamped.unpersist()
+
+
+def test_metrics_and_unstamped_fallback(spark, corpus):
+    df, _ = corpus
+    cents = ivf.ivf_fit(df, n_cells=8, iters=3)
+    q = [r["embedding"] for r in df.where("vec_id = 5").collect()][0]
+    # unstamped input assigns on the fly; l2 orders ascending
+    l2 = ivf.ivf_topk(
+        df, cents, q, k=3, nprobe=8, metric="l2_norm", id_col="vec_id"
+    ).collect()
+    assert l2[0]["vec_id"] == 5 and l2[0]["l2sq"] == pytest.approx(0.0)
+    dot = ivf.ivf_topk(
+        df, cents, q, k=3, nprobe=8, metric="dot_product", id_col="vec_id"
+    ).collect()
+    assert len(dot) == 3 and dot[0]["dot"] >= dot[1]["dot"]
+    with pytest.raises(ValueError, match="metric"):
+        ivf.ivf_topk(df, cents, q, metric="hamming")
