@@ -51,17 +51,27 @@ def _content_hash(vec_col: str):
 def _assign_udf(centroids: np.ndarray):
     """Arrow-batched nearest-centroid argmin. ||v-c||² = ||v||² - 2v·c
     + ||c||²; ||v||² is constant per row, so argmin over (−2v·c+||c||²)
-    — one (batch × dim)·(dim × k) matmul per Arrow batch."""
+    — one (batch × dim)·(dim × k) matmul per Arrow batch. Null or
+    wrong-dimension vectors get cell -1 (never probed → excluded from
+    every candidate set) instead of crashing the job — the
+    null/ragged-row contract the LSH bucket UDFs follow."""
     c = centroids.astype(np.float64)
     c_sq = (c * c).sum(axis=1)
+    dim = c.shape[1]
 
     @F.pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
-        m = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in vs]
-        )
-        scores = c_sq[None, :] - 2.0 * (m @ c.T)
-        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+        out = np.full(len(vs), -1, dtype=np.int32)
+        ok_idx, rows = [], []
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                ok_idx.append(i)
+                rows.append(np.asarray(v, dtype=np.float64))
+        if rows:
+            m = np.stack(rows)
+            scores = c_sq[None, :] - 2.0 * (m @ c.T)
+            out[ok_idx] = np.argmin(scores, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return assign
 
@@ -77,7 +87,7 @@ def ivf_fit(
     """Seeded Lloyd k-means over a deterministic hash-sample; returns
     the (n_cells, dim) centroid matrix. Raises if the corpus cannot
     seat one distinct vector per cell."""
-    keyed = df.select(
+    keyed = df.where(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).alias("v"),
         (_content_hash(vec_col) + F.lit(int(seed))).alias("hk"),
     )
@@ -108,7 +118,8 @@ def ivf_fit(
             )
             nxt = cents.copy()  # empty cells keep their centroid
             for r in rows:
-                nxt[r["cell"], r["dim"]] = r["m"]
+                if r["cell"] >= 0:  # -1 = ragged-dim rows, not a cell
+                    nxt[r["cell"], r["dim"]] = r["m"]
             if np.allclose(nxt, cents):
                 break
             cents = nxt

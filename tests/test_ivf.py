@@ -125,3 +125,34 @@ def test_metrics_and_unstamped_fallback(spark, corpus):
     assert len(dot) == 3 and dot[0]["dot"] >= dot[1]["dot"]
     with pytest.raises(ValueError, match="metric"):
         ivf.ivf_topk(df, cents, q, metric="hamming")
+
+
+def test_null_and_ragged_vectors_get_sentinel_cell(spark):
+    """Null / wrong-dim embeddings stamp cell -1 (excluded from every
+    probe) instead of crashing the Arrow batch — the LSH bucket UDFs'
+    null-row contract."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 1.0, 0.0, 0.0]),
+        (4, None),
+        (5, [1.0, 0.0]),  # ragged
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = ivf.ivf_fit(df, n_cells=2, iters=2)
+    assert cents.shape == (2, 4)
+    got = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf.assign_cells(df, cents).collect()
+    }
+    assert got[4] == -1 and got[5] == -1
+    assert all(0 <= got[i] < 2 for i in (1, 2, 3))
+    q = [1.0, 0.0, 0.0, 0.0]
+    ids = {
+        r["vec_id"]
+        for r in ivf.ivf_topk(
+            ivf.assign_cells(df, cents), cents, q, k=5, nprobe=2,
+            id_col="vec_id",
+        ).collect()
+    }
+    assert 4 not in ids and 5 not in ids
