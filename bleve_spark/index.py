@@ -34,7 +34,78 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+_U64_ZERO = np.uint64(0)
+
+
+def _decode_batch_scoring(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Decode a whole batch of posting blocks with three varint passes
+    total, no per-block Python dispatch.
+
+    LEB128 streams are self-delimiting, so the concatenation of every
+    block's stream decodes to the concatenation of their values; block
+    boundaries are recovered by counting terminator bytes (high bit
+    clear) up to each block's byte offset. Docid gaps then need a
+    *segmented* cumsum, done as one global cumsum minus each block's
+    starting base — exact even if the global uint64 sum wraps, because
+    the wrap cancels in the subtraction (mod-2^64 arithmetic) and every
+    true within-block docid fits in 63 bits.
+
+    This matters because expansion queries (prefix/wildcard/fuzzy over a
+    code corpus) touch hundreds of thousands of near-singleton blocks;
+    per-block numpy dispatch (~25us) was ~6 s of the 1-char-prefix
+    benchmark, vs ~0.1 s batched.
+    """
+    d_bufs = pdf["docids_enc"].tolist()
+    B = len(d_bufs)
+    d_cat = b"".join(d_bufs)
+    stream = np.frombuffer(d_cat, dtype=np.uint8)
+    ends_cum = np.cumsum((stream & 0x80) == 0)
+    ofs_end = np.cumsum(
+        np.fromiter((len(x) for x in d_bufs), dtype=np.int64, count=B)
+    )
+    # values-per-block; np.maximum guards zero-length buffers (an empty
+    # block contributes 0 via the np.where, never indexes at -1)
+    boundary = np.where(
+        ofs_end > 0, ends_cum[np.maximum(ofs_end - 1, 0)], 0
+    )
+    counts = np.diff(np.concatenate(([0], boundary)))
+    gaps = codec.varint_decode(d_cat)
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    if cs.size:
+        base = np.where(
+            starts > 0, cs[np.maximum(starts - 1, 0)], _U64_ZERO
+        )
+    else:
+        base = np.zeros(B, dtype=np.uint64)
+    block_of = np.repeat(np.arange(B), counts)
+    docids = (cs - base[block_of]).astype(np.int64)
+    tfs = codec.varint_decode(b"".join(pdf["tfs_enc"].tolist()))
+    lens = codec.varint_decode(b"".join(pdf["lens_enc"].tolist()))
+    if not (len(tfs) == len(docids) == len(lens)):
+        raise ValueError(
+            "corrupt posting batch: stream lengths disagree "
+            f"({len(docids)} docids, {len(tfs)} tfs, {len(lens)} lens)"
+        )
+    out = pd.DataFrame(
+        {
+            "field": np.repeat(pdf["field"].to_numpy(), counts),
+            "term": np.repeat(pdf["term"].to_numpy(), counts),
+            "docid": docids,
+            "tf": tfs.astype(np.int32),
+            "length": lens.astype(np.int32),
+        }
+    )
+    out["positions"] = None
+    return out
+
+
 def _decode_blocks_iter(batches, need_positions: bool):
+    if not need_positions:
+        for pdf in batches:
+            if len(pdf):
+                yield _decode_batch_scoring(pdf)
+        return
     for pdf in batches:
         cols = {k: [] for k in ("field", "term", "docid", "tf", "length")}
         pos_out: List = []
@@ -48,8 +119,7 @@ def _decode_blocks_iter(batches, need_positions: bool):
             cols["docid"].append(docids)
             cols["tf"].append(tfs)
             cols["length"].append(lens)
-            if need_positions:
-                pos_out.extend(codec.decode_positions(row.pos_enc, n))
+            pos_out.extend(codec.decode_positions(row.pos_enc, n))
         if not cols["docid"]:
             continue
         out = pd.DataFrame(
@@ -61,9 +131,7 @@ def _decode_blocks_iter(batches, need_positions: bool):
                 "length": np.concatenate(cols["length"]),
             }
         )
-        out["positions"] = (
-            pd.Series(pos_out, dtype=object) if need_positions else None
-        )
+        out["positions"] = pd.Series(pos_out, dtype=object)
         yield out
 
 
