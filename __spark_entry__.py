@@ -1182,6 +1182,57 @@ FROM hits
 """
 
 
+def _q_text_chunk_dedup(spark, sf_dir):
+    return text_ops.chunk_dedup(_load(spark, sf_dir, "documents"))
+
+
+_SQL_CHUNK_DEDUP = f"""
+WITH {_TOKS},
+chunks AS (SELECT doc_id, cast(floor((pos-1)/10) AS bigint) AS chunk_no,
+                  string_agg(term, ' ' ORDER BY pos) AS chunk
+           FROM toks GROUP BY doc_id, floor((pos-1)/10)),
+keyed AS (SELECT doc_id, chunk,
+                 doc_id*1000000 + chunk_no AS occ_key FROM chunks),
+firsts AS (SELECT chunk, min(occ_key) AS first_key FROM keyed GROUP BY chunk)
+SELECT k.doc_id AS doc_id,
+       count(*) AS n_chunks,
+       cast(sum(CASE WHEN k.occ_key <> f.first_key THEN 1 ELSE 0 END)
+            AS bigint) AS n_dup_chunks,
+       {R4("sum(CASE WHEN k.occ_key <> f.first_key THEN 1 ELSE 0 END)"
+           "/cast(count(*) AS double)")} AS dup_chunk_frac
+FROM keyed k JOIN firsts f USING (chunk)
+GROUP BY k.doc_id
+"""
+
+
+def _q_text_repetition(spark, sf_dir):
+    return text_ops.repetition_metrics(_load(spark, sf_dir, "documents"))
+
+
+_SQL_REPETITION = f"""
+WITH {_TOKS},
+t AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS nd
+      FROM toks GROUP BY doc_id),
+bg AS (SELECT a.doc_id, a.term || ' ' || b.term AS bigram
+       FROM toks a JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1),
+bgs AS (SELECT doc_id, sum(c) AS nb, max(c) AS maxc
+        FROM (SELECT doc_id, bigram, count(*) AS c
+              FROM bg GROUP BY doc_id, bigram) GROUP BY doc_id),
+tg AS (SELECT a.doc_id,
+              a.term || ' ' || b.term || ' ' || c.term AS trigram
+       FROM toks a
+       JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+       JOIN toks c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+tgs AS (SELECT doc_id, count(*) AS ntr, count(DISTINCT trigram) AS ndt
+        FROM tg GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+  {R4("1.0 - nd/cast(n AS double)")} AS dup_token_frac,
+  coalesce({R4("maxc/cast(nb AS double)")}, 0.0) AS top_bigram_frac,
+  coalesce({R4("1.0 - ndt/cast(ntr AS double)")}, 0.0) AS dup_trigram_frac
+FROM t LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
+"""
+
+
 def _q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(_load(spark, sf_dir, "documents"))
 
@@ -1479,6 +1530,8 @@ _REGISTRY: dict[str, tuple] = {
     "text_quality": (_q_text_quality, _SQL_QUALITY),
     "text_langid": (_q_text_langid, _SQL_LANGID),
     "text_fingerprint": (_q_text_fingerprint, _SQL_FINGERPRINT),
+    "text_chunk_dedup": (_q_text_chunk_dedup, _SQL_CHUNK_DEDUP),
+    "text_repetition": (_q_text_repetition, _SQL_REPETITION),
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
 }
 

@@ -75,6 +75,128 @@ def language_id(df: DataFrame, text: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
+def chunk_dedup(
+    df: DataFrame,
+    text: str = "text",
+    chunk_tokens: int = 10,
+    id_mult: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-level exact span dedup: the paragraph-dedup stage of
+    C4-style pipelines (Raffel et al. 2020 §2.2 dedups three-sentence
+    spans; FineWeb dedups paragraphs), re-expressed for token streams
+    as fixed-width `chunk_tokens` windows.
+
+    A chunk's canonical occurrence is its earliest (doc_id, chunk_no);
+    every later occurrence — in other docs or repeated within one doc —
+    counts as duplicated. Per doc: total chunks, duplicated chunks, and
+    the duplicated fraction (the signal C4 thresholds on).
+
+    Scale shape: chunks are built per-row with array slicing (no
+    shuffle), then ONE groupBy on the chunk string computes the
+    first-occurrence key with map-side partial aggregation — hot chunks
+    (boilerplate repeated millions of times) partial-combine before the
+    exchange, so the shuffle carries one row per distinct chunk per
+    partition, and the join back is a plain equi-join Catalyst/AQE can
+    re-plan. No windows, no driver state.
+
+    The first-occurrence key is `doc_id * id_mult + chunk_no`
+    (lexicographic (doc_id, chunk_no) order so long as every doc has
+    fewer than `id_mult` chunks) so the DuckDB oracle reproduces it
+    with integer arithmetic; a deployment with unbounded ids would use
+    `min(struct(doc_id, chunk_no))` — identical ordering.
+    """
+    toks = tokens_col(F.col(text))
+    n = F.size(toks)
+    nchunks = (F.floor((n - F.lit(1)) / F.lit(chunk_tokens)) + 1).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    chunks = df.select(
+        F.col("doc_id"),
+        F.posexplode(chunk_arr).alias("chunk_no", "chunk"),
+    ).withColumn(
+        "occ_key",
+        F.col("doc_id").cast("long") * id_mult + F.col("chunk_no"),
+    )
+    firsts = chunks.groupBy("chunk").agg(
+        F.min("occ_key").alias("first_key")
+    )
+    flagged = chunks.join(firsts, "chunk").withColumn(
+        "is_dup", (F.col("occ_key") != F.col("first_key")).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+        r4(F.sum("is_dup") / F.count("*")).alias("dup_chunk_frac"),
+    )
+
+
+def repetition_metrics(df: DataFrame, text: str = "text") -> DataFrame:
+    """Within-document repetition signals from Gopher's quality
+    heuristics (Rae et al. 2021, Table A1): duplicate-token fraction,
+    the fraction of bigrams occupied by the single most frequent
+    bigram, and the duplicate-trigram fraction.
+
+    All three are per-row array expressions (transform / filter /
+    array_distinct over the token array) — whole-stage-codegen
+    JVM work with ZERO shuffle, so the operator is embarrassingly
+    parallel at any corpus size. Cost is O(distinct_bigrams x n) per
+    doc for the mode count, fine for natural-language docs (<=1e4
+    tokens); docs too short for an n-gram emit 0.0 (matching the
+    oracle's LEFT JOIN + coalesce).
+    """
+    toks = tokens_col(F.col(text))
+    n = F.size(toks)
+    dup_tok = r4(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double")
+    )
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bg)
+    top_bg_count = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    )
+    top_bg = F.when(
+        nb > 0, r4(top_bg_count / nb.cast("double"))
+    ).otherwise(F.lit(0.0))
+    tg = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nt = F.size(tg)
+    dup_tg = F.when(
+        nt > 0,
+        r4(F.lit(1.0) - F.size(F.array_distinct(tg)) / nt.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        dup_tok.alias("dup_token_frac"),
+        top_bg.alias("top_bigram_frac"),
+        dup_tg.alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (set-semantics rolling-hash analogue)."""

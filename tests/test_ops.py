@@ -201,6 +201,66 @@ def test_text_ops(docs_df):
     assert fps[0] == fps[2] and fps[0] != fps[4]
 
 
+def test_chunk_dedup(spark):
+    rows = [
+        (0, "a b c d e f", "en"),
+        (1, "a b c x y z", "en"),  # first chunk dups doc 0
+        (2, "d e f d e f", "en"),  # both chunks dup doc 0's second chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.chunk_dedup(df, chunk_tokens=3).collect()
+    }
+    assert (out[0]["n_chunks"], out[0]["n_dup_chunks"]) == (2, 0)
+    assert (out[1]["n_chunks"], out[1]["n_dup_chunks"]) == (2, 1)
+    assert out[1]["dup_chunk_frac"] == pytest.approx(0.5)
+    # doc 2's repeated chunk dups the earlier doc AND its own repeat
+    assert (out[2]["n_chunks"], out[2]["n_dup_chunks"]) == (2, 2)
+    assert out[2]["dup_chunk_frac"] == pytest.approx(1.0)
+
+
+def test_chunk_dedup_ragged_tail(spark):
+    # 7 tokens at chunk_tokens=3 -> chunks of 3, 3, 1 (tail not padded)
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g", "en")], ["doc_id", "text", "lang"]
+    )
+    out = text_ops.chunk_dedup(df, chunk_tokens=3).collect()[0]
+    assert (out["n_chunks"], out["n_dup_chunks"]) == (3, 0)
+
+
+def test_repetition_metrics(spark):
+    rows = [
+        (0, "a a a b", "en"),
+        (1, "x", "en"),
+        (2, "p q p q p q", "en"),
+        (3, "u v w x y z", "en"),  # no repetition at all
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r for r in text_ops.repetition_metrics(df).collect()
+    }
+    # doc 0: 4 tokens 2 distinct; bigrams [a a, a a, a b] -> top 2/3;
+    # trigrams [a a a, a a b] both unique
+    assert out[0]["dup_token_frac"] == pytest.approx(0.5)
+    assert out[0]["top_bigram_frac"] == pytest.approx(0.6667)
+    assert out[0]["dup_trigram_frac"] == pytest.approx(0.0)
+    # single-token doc: no n-grams, all-zero signals
+    assert (
+        out[1]["dup_token_frac"],
+        out[1]["top_bigram_frac"],
+        out[1]["dup_trigram_frac"],
+    ) == (0.0, 0.0, 0.0)
+    # doc 2: 6 tokens 2 distinct -> 0.6667; bigrams [pq qp pq qp pq]
+    # top 3/5; trigrams [pqp qpq pqp qpq] -> 1 - 2/4
+    assert out[2]["dup_token_frac"] == pytest.approx(0.6667)
+    assert out[2]["top_bigram_frac"] == pytest.approx(0.6)
+    assert out[2]["dup_trigram_frac"] == pytest.approx(0.5)
+    assert out[3]["dup_token_frac"] == pytest.approx(0.0)
+    assert out[3]["top_bigram_frac"] == pytest.approx(0.2)
+    assert out[3]["dup_trigram_frac"] == pytest.approx(0.0)
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthesize_media(spark, n=12)
     feats = multimodal.extract_features(media, decode_mode="fake").collect()
