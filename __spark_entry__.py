@@ -1233,6 +1233,102 @@ FROM t LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)
 """
 
 
+def _q_pipeline_clean(spark, sf_dir):
+    # thresholds chosen so every funnel stage fires on the synthetic
+    # corpus (real deployments use C4/Gopher's published values); the
+    # token_set fingerprint exercises exact_dup (the corpus has
+    # token-permuted copies but no byte-identical ones)
+    from bleve_spark.ops import pipeline as pipeline_ops
+
+    return pipeline_ops.clean_corpus(
+        _load(spark, sf_dir, "documents"),
+        min_tokens=20,
+        min_distinct_ratio=0.33,
+        max_top_bigram_frac=0.09,
+        max_dup_trigram_frac=0.015,
+        max_dup_chunk_frac=0.5,
+        neardup_est_jaccard=0.8,
+        fingerprint_mode="token_set",
+    )
+
+
+_SQL_PIPELINE_CLEAN = f"""
+WITH {_TOKS}, {_SH3},
+t AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS nd
+      FROM toks GROUP BY doc_id),
+bg AS (SELECT a.doc_id, a.term || ' ' || b.term AS bigram
+       FROM toks a JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1),
+bgs AS (SELECT doc_id, sum(c) AS nb, max(c) AS maxc
+        FROM (SELECT doc_id, bigram, count(*) AS c
+              FROM bg GROUP BY doc_id, bigram) GROUP BY doc_id),
+tg AS (SELECT a.doc_id,
+              a.term || ' ' || b.term || ' ' || c.term AS trigram
+       FROM toks a
+       JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+       JOIN toks c ON c.doc_id=a.doc_id AND c.pos=a.pos+2),
+tgs AS (SELECT doc_id, count(*) AS ntr, count(DISTINCT trigram) AS ndt
+        FROM tg GROUP BY doc_id),
+chunks AS (SELECT doc_id, cast(floor((pos-1)/10) AS bigint) AS chunk_no,
+                  string_agg(term, ' ' ORDER BY pos) AS chunk
+           FROM toks GROUP BY doc_id, floor((pos-1)/10)),
+keyed AS (SELECT doc_id, chunk,
+                 doc_id*1000000 + chunk_no AS occ_key FROM chunks),
+firsts AS (SELECT chunk, min(occ_key) AS fk FROM keyed GROUP BY chunk),
+cd AS (SELECT k.doc_id,
+              {R4("sum(CASE WHEN occ_key<>fk THEN 1 ELSE 0 END)"
+                  "/cast(count(*) AS double)")} AS dcf
+       FROM keyed k JOIN firsts USING (chunk) GROUP BY k.doc_id),
+sig AS (SELECT t.doc_id,
+          coalesce({R4("maxc/cast(nb AS double)")}, 0.0) AS topbg,
+          coalesce({R4("1.0 - ndt/cast(ntr AS double)")}, 0.0) AS duptg,
+          {R4("nd/cast(n AS double)")} AS dr, n
+        FROM t LEFT JOIN bgs USING (doc_id) LEFT JOIN tgs USING (doc_id)),
+fpt AS (SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(
+            string_split(text,' '))),' ')) AS f
+        FROM documents),
+s1 AS (SELECT sig.doc_id, f, dcf,
+         (n < 20 OR n > 100000 OR dr < 0.33) AS dq,
+         (topbg > 0.09 OR duptg > 0.015) AS drp
+       FROM sig JOIN fpt USING (doc_id) JOIN cd USING (doc_id)),
+s2 AS (SELECT *, (NOT dq AND NOT drp) AS s12 FROM s1),
+canon AS (SELECT f, min(doc_id) AS canon_id FROM s2 WHERE s12 GROUP BY f),
+s3 AS (SELECT s2.*, canon_id FROM s2 LEFT JOIN canon USING (f)),
+s4 AS (SELECT *,
+         (s12 AND doc_id <> canon_id) AS de,
+         (s12 AND doc_id = canon_id AND dcf > 0.5) AS ds,
+         (s12 AND doc_id = canon_id AND NOT dcf > 0.5) AS s14
+       FROM s3),
+hs AS (SELECT unnest(range(16)) AS h),
+mh AS (SELECT s.doc_id, hs.h,
+              min(md5(cast(hs.h AS varchar) || ':' || s.shingle)) AS minhash
+       FROM sh s CROSS JOIN hs GROUP BY s.doc_id, hs.h),
+bk AS (SELECT doc_id, cast(h//4 AS int) AS band,
+              array_to_string(list(minhash ORDER BY minhash), '|') AS band_key
+       FROM mh GROUP BY doc_id, cast(h//4 AS int)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bk x JOIN bk y ON x.band=y.band AND x.band_key=y.band_key
+                             AND x.doc_id<y.doc_id),
+est AS (SELECT cand.a, cand.b,
+               sum(CASE WHEN ma.minhash=mb.minhash THEN 1 ELSE 0 END)/16.0 AS e
+        FROM cand
+        JOIN mh ma ON ma.doc_id=cand.a
+        JOIN mh mb ON mb.doc_id=cand.b AND mb.h=ma.h
+        GROUP BY cand.a, cand.b),
+nearhit AS (SELECT DISTINCT est.b AS doc_id, TRUE AS near_hit
+            FROM est JOIN s4 sa ON sa.doc_id=est.a AND sa.s14
+            WHERE est.e >= 0.8)
+SELECT s4.doc_id AS doc_id,
+  CASE WHEN dq THEN 'quality'
+       WHEN NOT s12 THEN 'repetition'
+       WHEN de THEN 'exact_dup'
+       WHEN ds THEN 'span_dup'
+       WHEN s14 AND coalesce(near_hit, FALSE) THEN 'near_dup'
+       ELSE 'kept' END AS stage
+FROM s4 LEFT JOIN nearhit USING (doc_id)
+"""
+
+
 def _q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(_load(spark, sf_dir, "documents"))
 
@@ -1532,6 +1628,7 @@ _REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (_q_text_fingerprint, _SQL_FINGERPRINT),
     "text_chunk_dedup": (_q_text_chunk_dedup, _SQL_CHUNK_DEDUP),
     "text_repetition": (_q_text_repetition, _SQL_REPETITION),
+    "pipeline_clean": (_q_pipeline_clean, _SQL_PIPELINE_CLEAN),
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
 }
 
