@@ -390,7 +390,8 @@ def run_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
     for name in (
-        "dedup_minhash_lsh", "dedup_simhash", "knn_cosine", "text_quality"
+        "dedup_minhash_lsh", "dedup_simhash", "knn_cosine", "text_quality",
+        "pipeline_clean",
     ):
         fn = entrymod.queries()[name]
         meas(f"op_{name}", lambda fn=fn: fn(spark, SF_DIR).collect(), reps=3)
