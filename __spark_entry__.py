@@ -31,7 +31,7 @@ from bleve_spark import (
 )
 from bleve_spark import query as Q
 from bleve_spark import scoring
-from bleve_spark.ops import dedup, multimodal, similarity
+from bleve_spark.ops import curate, dedup, multimodal, similarity
 from bleve_spark.ops import text as text_ops
 from bleve_spark.ops.util import r4
 from bleve_spark.analysis.stopwords_en import ENGLISH_STOP_WORDS
@@ -1138,6 +1138,18 @@ SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents
 """
 
 
+def _q_text_token_count_bpe(spark, sf_dir):
+    return text_ops.token_count_bpe(_load(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '{text_ops.BPE_TOKEN_RE}'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _q_text_quality(spark, sf_dir):
     return text_ops.quality_score(_load(spark, sf_dir, "documents"))
 
@@ -1337,6 +1349,166 @@ _SQL_FINGERPRINT = """
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
 FROM documents
+"""
+
+
+# -- corpus curation: decontamination, PII, code filters, sampling ----------
+
+
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C shape): the
+    "benchmark" is the deterministic doc_id % 37 == 0 slice of the
+    corpus itself, so contamination is guaranteed non-trivial (every
+    benchmark doc flags itself; near-dups flag their partners).
+    Benchmark 5-gram set is broadcast — corpus probe is map-side."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return curate.decontaminate(docs, bench, n=5)
+
+
+_SQL_DECONTAMINATE = f"""
+WITH {_TOKS},
+g0 AS (SELECT a.doc_id,
+              a.term || ' ' || b.term || ' ' || c.term || ' ' ||
+              d.term || ' ' || e.term AS gram
+       FROM toks a
+       JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+       JOIN toks c ON c.doc_id=a.doc_id AND c.pos=a.pos+2
+       JOIN toks d ON d.doc_id=a.doc_id AND d.pos=a.pos+3
+       JOIN toks e ON e.doc_id=a.doc_id AND e.pos=a.pos+4),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+SELECT d.doc_id AS doc_id,
+       count(g.gram) AS n_ngrams,
+       cast(coalesce(sum(CASE WHEN bench.gram IS NOT NULL
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_contaminated,
+       cast(CASE WHEN coalesce(sum(CASE WHEN bench.gram IS NOT NULL
+                                         THEN 1 ELSE 0 END), 0) > 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM documents d
+LEFT JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN bench ON bench.gram = g.gram
+GROUP BY d.doc_id
+"""
+
+
+# deterministic PII-bearing derivation over the synthetic corpus (the
+# raw text carries no PII); identical concat on both sides
+def _pii_text_col():
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel +49"),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || cast(doc_id AS varchar) || "
+    "'@example.com or 10.' || cast(doc_id % 256 AS varchar) || "
+    "'.0.1 tel +49' || cast(doc_id + 1000000 AS varchar)"
+)
+
+
+def _q_text_pii(spark, sf_dir):
+    """PII detect + redact (BigCode/StarCoder regex pass); the oracle
+    recomputes counts and the redacted-text md5 with RE2 equivalents
+    of the same patterns."""
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "text", _pii_text_col()
+    )
+    return curate.pii_scan(docs)
+
+
+def _sql_text_pii() -> str:
+    e, i, p = curate.EMAIL_RE, curate.IPV4_RE, curate.PHONE_RE
+    return f"""
+WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+SELECT doc_id,
+       cast(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_emails,
+       cast(len(regexp_extract_all(t, '{i}')) AS BIGINT) AS n_ipv4,
+       cast(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           t, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+           '{p}', '<PHONE>', 'g')) AS redacted_md5
+FROM pii
+"""
+
+
+def _q_code_quality(spark, sf_dir):
+    """StarCoder/The-Stack per-file source filters over a derived
+    multi-line content column: ' the ' -> newline turns the synthetic
+    prose into deterministic multi-line "files", and every
+    doc_id % 101 == 0 file gets an auto-generated header so the
+    marker branch fires. Identical derivation in the oracle."""
+    docs = _load(spark, sf_dir, "documents")
+    body = F.regexp_replace(F.col("text"), " the ", "\n")
+    content = F.when(
+        F.col("doc_id") % 101 == 0,
+        F.concat(F.lit("// auto-generated do not edit\n"), body),
+    ).otherwise(body)
+    return curate.code_quality(docs.withColumn("content", content))
+
+
+_SQL_CODE_QUALITY = f"""
+WITH files AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0
+              THEN '// auto-generated do not edit' || chr(10) ||
+                   replace(text, ' the ', chr(10))
+              ELSE replace(text, ' the ', chr(10)) END AS content
+  FROM documents
+),
+ln AS (SELECT doc_id, content,
+              string_split(content, chr(10)) AS lines FROM files)
+SELECT doc_id,
+       cast(len(lines) AS BIGINT) AS n_lines,
+       cast(list_max(list_transform(lines, x -> length(x))) AS BIGINT)
+         AS max_line_len,
+       {R4("(length(content) - (len(lines)-1))/cast(len(lines) AS double)")}
+         AS avg_line_len,
+       CASE WHEN length(content) > 0 THEN
+         {R4("length(regexp_replace(content,'[^A-Za-z0-9]','','g'))"
+             "/cast(length(content) AS double)")}
+       ELSE 0.0 END AS alnum_frac,
+       cast(CASE WHEN len(regexp_extract_all(content,
+              '(?i)auto-generated|do not edit|generated by')) > 0
+            THEN 1 ELSE 0 END AS INTEGER) AS is_autogen
+FROM ln
+"""
+
+
+_SAMPLE_RATES = {"en": 55, "de": 30, "fr": 75, "es": 10}
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampling (per-language
+    mixing quotas); md5-derived bucket so the oracle picks the
+    identical rows — no RNG anywhere."""
+    return curate.stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES,
+        strata="lang",
+        default_rate=20,
+    )
+
+
+def _sql_sample_stratified() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    bucket = (
+        "cast(concat('0x', substr(md5(cast(doc_id AS varchar)),1,8)) "
+        "AS BIGINT) % 100"
+    )
+    return f"""
+SELECT doc_id, lang, {bucket} AS sample_bucket
+FROM documents
+WHERE {bucket} < CASE lang {case} ELSE 20 END
 """
 
 
@@ -1623,12 +1795,17 @@ _REGISTRY: dict[str, tuple] = {
     "knn_dot_product": (_q_knn_dot_product, _SQL_KNN_DOT),
     "emb_neardup": (_q_emb_neardup, _SQL_EMB_NEARDUP),
     "text_token_count": (_q_text_token_count, _SQL_TOKEN_COUNT),
+    "text_token_count_bpe": (_q_text_token_count_bpe, _SQL_TOKEN_COUNT_BPE),
     "text_quality": (_q_text_quality, _SQL_QUALITY),
     "text_langid": (_q_text_langid, _SQL_LANGID),
     "text_fingerprint": (_q_text_fingerprint, _SQL_FINGERPRINT),
     "text_chunk_dedup": (_q_text_chunk_dedup, _SQL_CHUNK_DEDUP),
     "text_repetition": (_q_text_repetition, _SQL_REPETITION),
     "pipeline_clean": (_q_pipeline_clean, _SQL_PIPELINE_CLEAN),
+    "text_decontaminate": (_q_text_decontaminate, _SQL_DECONTAMINATE),
+    "text_pii": (_q_text_pii, _sql_text_pii()),
+    "code_quality": (_q_code_quality, _SQL_CODE_QUALITY),
+    "sample_stratified": (_q_sample_stratified, _sql_sample_stratified()),
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
 }
 

@@ -36,6 +36,29 @@ def token_count(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs
+# (whitespace-skipping), the GPT-2 pre-split shape reduced to the
+# Java-regex ∩ RE2 common subset (unicode \p classes, no lookaround)
+# so Spark and the DuckDB oracle count identically — including CJK
+# text, where an unspaced sentence is one letter run in both engines.
+BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
+def token_count_bpe(df: DataFrame, text: str = "text") -> DataFrame:
+    """Tokenizer-aware token count: BPE-style pre-tokenization runs
+    (letters / digits / punctuation) rather than whitespace splits —
+    the count a GPT-2-family tokenizer's pre-splitter would produce
+    before merges, which is the budgeting signal training pipelines
+    actually need (whitespace counts undercount CJK and code by a lot).
+    Pure JVM regexp_count; zero shuffle."""
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col(text), F.lit(BPE_TOKEN_RE))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     """Length/stopword/distinct ratios — the standard cheap quality
     signals for corpus filtering."""

@@ -1,0 +1,157 @@
+"""Corpus-curation ops: decontamination, PII, code filters, sampling."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bleve_spark.ops import curate
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (1, "alpha beta gamma delta epsilon iota kappa mu", "en"),  # shares 5-gram with 0
+        (2, "one two three four five six seven eight nine", "en"),
+        (3, "tiny doc", "de"),  # < n tokens
+        (4, "uno dos tres cuatro cinco seis siete ocho", "es"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    bench = docs.where(F.col("doc_id") == 0)
+    out = {
+        r["doc_id"]: r
+        for r in curate.decontaminate(docs, bench, n=5).collect()
+    }
+    assert len(out) == 5  # every doc reported, even the short one
+    # benchmark doc flags itself on all 4 of its 5-grams
+    assert out[0]["n_contaminated"] == 4 and out[0]["contaminated"] == 1
+    # doc 1 shares exactly one 5-gram (alpha..epsilon) with the benchmark
+    assert out[1]["n_contaminated"] == 1 and out[1]["contaminated"] == 1
+    assert out[2]["contaminated"] == 0
+    # short doc: no n-grams at all, still present and clean
+    assert out[3]["n_ngrams"] == 0 and out[3]["contaminated"] == 0
+
+
+def test_decontaminate_distinct_ngrams(spark):
+    # repeated n-gram in one doc counts once (distinct shingles)
+    df = spark.createDataFrame(
+        [(0, "a b c d e a b c d e")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    row = curate.decontaminate(df, bench, n=5).collect()[0]
+    # 10-5+1=6 positions but position 5 repeats position 0's gram
+    assert row["n_ngrams"] == 5
+    assert row["n_contaminated"] == 1
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "write to bob@corp.io or alice@example.org now"),
+            (1, "server at 192.168.0.1 and 10.0.0.2 up"),
+            (2, "call +4915112345678 today"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curate.pii_scan(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_ipv4"] == 0
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["n_phones"] == 1
+    assert (
+        out[3]["n_emails"] == out[3]["n_ipv4"] == out[3]["n_phones"] == 0
+    )
+    # redaction: placeholders in, original strings out
+    exp = hashlib.md5(
+        b"write to <EMAIL> or <EMAIL> now"
+    ).hexdigest()
+    assert out[0]["redacted_md5"] == exp
+    # untouched text hashes to itself
+    assert (
+        out[3]["redacted_md5"]
+        == hashlib.md5(b"nothing sensitive here").hexdigest()
+    )
+
+
+def test_code_quality_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "short\na much longer line here\nmid"),
+            (1, "// AUTO-GENERATED file, DO NOT EDIT\nx = 1"),
+            (2, ""),
+            (3, "#### !!!! $$$$"),
+        ],
+        ["doc_id", "content"],
+    )
+    out = {r["doc_id"]: r for r in curate.code_quality(df).collect()}
+    assert out[0]["n_lines"] == 3
+    assert out[0]["max_line_len"] == len("a much longer line here")
+    # avg over 5, 23, 3 chars
+    assert abs(out[0]["avg_line_len"] - round((5 + 23 + 3) / 3, 4)) < 1e-9
+    assert out[0]["is_autogen"] == 0
+    assert out[1]["is_autogen"] == 1  # case-insensitive markers
+    assert out[2]["n_lines"] == 1 and out[2]["alnum_frac"] == 0.0
+    assert out[3]["alnum_frac"] == 0.0  # symbols only
+
+
+def test_stratified_sample_deterministic(spark, docs):
+    rates = {"en": 100, "de": 0, "es": 50}
+    a = sorted(
+        r["doc_id"]
+        for r in curate.stratified_sample(docs, rates).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in curate.stratified_sample(docs, rates).collect()
+    )
+    assert a == b  # no RNG: identical across runs
+    kept = set(a)
+    assert {0, 1, 2} <= kept  # en rate 100 keeps all en docs
+    assert 3 not in kept  # de rate 0 drops all de docs
+
+
+def test_stratified_sample_rates_monotone(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    n30 = curate.stratified_sample(df, {"en": 30}).count()
+    n60 = curate.stratified_sample(df, {"en": 60}).count()
+    n100 = curate.stratified_sample(df, {"en": 100}).count()
+    assert n100 == 1000
+    # hash buckets are uniform-ish; a higher rate strictly keeps a
+    # superset (same bucket function, larger threshold)
+    assert n30 < n60 < n100
+    assert 200 < n30 < 400 and 500 < n60 < 700
+
+
+def test_token_count_bpe(spark):
+    from bleve_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (0, "don't count 42 tokens... 你好世界 foo_bar x2"),
+            (1, "plain words here"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text_ops.token_count_bpe(df).collect()
+    }
+    # don|'|t|count|42|tokens|...|你好世界|foo|_|bar|x|2
+    assert out[0] == 13
+    assert out[1] == 3
+    assert out[2] == 0
+
+
+def test_stratified_sample_default_rate(spark, docs):
+    out = curate.stratified_sample(
+        docs, {"en": 0}, default_rate=100
+    ).collect()
+    langs = {r["lang"] for r in out}
+    assert "en" not in langs and {"de", "es"} == langs
