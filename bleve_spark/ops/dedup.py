@@ -309,24 +309,25 @@ def simhash_pairs(
     ).select("doc_id", "simhash", "bk.band", "bk.val")
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # hamming filter BEFORE the dedup-distinct: the filter is a cheap
+    # row expression evaluated streaming out of the band join, while
+    # distinct is an exchange — filtering first means the shuffle
+    # carries only true near-dup pairs (duplicated at most nbands x),
+    # not every band collision. Same result set: duplicates of a pair
+    # are identical rows, so filter-then-distinct == distinct-then-filter.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val")),
         )
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(hamming <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cands.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
