@@ -1512,6 +1512,56 @@ WHERE {bucket} < CASE lang {case} ELSE 20 END
 """
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Contiguous training-sequence packing, 64-bucket sharding; the
+    oracle recomputes the identical bucketed window cumsum."""
+    return curate.pack_sequences(
+        _load(spark, sf_dir, "documents"), seq_len=256, n_buckets=64
+    )
+
+
+_SQL_PACK_SEQUENCES = """
+WITH base AS (
+  SELECT doc_id, doc_id % 64 AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start
+  FROM base
+)
+SELECT doc_id, bucket,
+       cast(floor(start / 256) AS BIGINT) AS pack_id,
+       cast(start % 256 AS BIGINT) AS pack_offset,
+       cast(CASE WHEN floor(start / 256)
+                  <> floor((start + n_tokens - 1) / 256)
+            THEN 1 ELSE 0 END AS INTEGER) AS crosses_boundary
+FROM cum
+"""
+
+
+def _q_cap_per_source(spark, sf_dir):
+    """Per-source quota cap (keep first 12 docs per source by id)."""
+    return curate.cap_per_source(
+        _load(spark, sf_dir, "documents"), max_per_source=12
+    )
+
+
+_SQL_CAP_PER_SOURCE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+           AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, cast(src_rank AS BIGINT) AS src_rank
+FROM ranked WHERE src_rank <= 12
+"""
+
+
 # -- multimodal plumbing (deterministic fake decode; DuckDB-oracled) --------
 
 
@@ -1806,6 +1856,8 @@ _REGISTRY: dict[str, tuple] = {
     "text_pii": (_q_text_pii, _sql_text_pii()),
     "code_quality": (_q_code_quality, _SQL_CODE_QUALITY),
     "sample_stratified": (_q_sample_stratified, _sql_sample_stratified()),
+    "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "cap_per_source": (_q_cap_per_source, _SQL_CAP_PER_SOURCE),
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
 }
 

@@ -128,6 +128,52 @@ def test_stratified_sample_rates_monotone(spark):
     assert 200 < n30 < 400 and 500 < n60 < 700
 
 
+def test_pack_sequences_layout(spark):
+    # one bucket -> one concatenation stream; seq_len 10
+    rows = [(0, " ".join(["w"] * 7)), (4, " ".join(["w"] * 6)),
+            (8, " ".join(["w"] * 12))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in curate.pack_sequences(
+            df, seq_len=10, n_buckets=4
+        ).collect()
+    }
+    assert all(r["bucket"] == 0 for r in out.values())
+    # doc0: tokens 0-6 -> pack 0 offset 0, stays inside
+    assert (out[0]["pack_id"], out[0]["pack_offset"],
+            out[0]["crosses_boundary"]) == (0, 0, 0)
+    # doc4: tokens 7-12 -> pack 0 offset 7, crosses into pack 1
+    assert (out[4]["pack_id"], out[4]["pack_offset"],
+            out[4]["crosses_boundary"]) == (0, 7, 1)
+    # doc8: tokens 13-24 -> pack 1 offset 3, crosses into pack 2
+    assert (out[8]["pack_id"], out[8]["pack_offset"],
+            out[8]["crosses_boundary"]) == (1, 3, 1)
+
+
+def test_pack_sequences_bucket_independence(spark):
+    # docs in different buckets pack independently from offset 0
+    rows = [(0, "a b c"), (1, "d e f")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in curate.pack_sequences(df, seq_len=10, n_buckets=4).collect()
+    }
+    assert out[0]["bucket"] == 0 and out[1]["bucket"] == 1
+    assert out[0]["pack_offset"] == 0 and out[1]["pack_offset"] == 0
+
+
+def test_cap_per_source(spark):
+    rows = [(i, f"src{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sorted(
+        r["doc_id"]
+        for r in curate.cap_per_source(df, max_per_source=3).collect()
+    )
+    # first 3 by id within each of the 2 sources
+    assert kept == [0, 1, 2, 3, 4, 5]
+
+
 def test_token_count_bpe(spark):
     from bleve_spark.ops import text as text_ops
 
