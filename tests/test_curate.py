@@ -174,6 +174,19 @@ def test_cap_per_source(spark):
     assert kept == [0, 1, 2, 3, 4, 5]
 
 
+def test_argument_guards(spark, docs):
+    with pytest.raises(ValueError, match="n-gram width"):
+        curate.decontaminate(docs, docs, n=0)
+    with pytest.raises(ValueError, match="seq_len"):
+        curate.pack_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError, match="max_per_source"):
+        curate.cap_per_source(docs, max_per_source=0)
+    with pytest.raises(ValueError, match="rate"):
+        curate.stratified_sample(docs, {"en": 101})
+    with pytest.raises(ValueError, match="rate"):
+        curate.stratified_sample(docs, {"en": 50}, default_rate=-1)
+
+
 def test_token_count_bpe(spark):
     from bleve_spark.ops import text as text_ops
 
