@@ -442,3 +442,59 @@ def test_streaming_tiered_merge_50_batches(spark, tmp_path):
     ids = [r["_id"] for r in res.hits.collect()]
     assert len(ids) == n_batches * per_batch
     assert len(set(ids)) == len(ids)
+
+
+def test_streaming_curation_stateless_ops(spark, tmp_path):
+    """The stateless curation ops (pii_scan, code_quality,
+    stratified_sample) are pure column expressions, so they compose
+    directly with readStream — the same operator object serves batch
+    backfill and the streaming ingest path with no code fork (the
+    Structured Streaming unification the engine is designed around)."""
+    import json as _json
+
+    from bleve_spark.ops import curate
+
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    rows = [
+        (0, "mail bob@corp.io now", "en"),
+        (1, "plain text only", "en"),
+        (2, "ping 10.0.0.7 ok", "de"),
+    ]
+    with open(f"{src}/a.json", "w") as f:
+        for i, text, lang in rows:
+            f.write(
+                _json.dumps({"doc_id": i, "text": text, "lang": lang}) + "\n"
+            )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).json(src)
+    out = curate.pii_scan(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cur_pii")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ipv4"])
+        for r in spark.sql("select * from cur_pii").collect()
+    }
+    assert got == {0: (1, 0), 1: (0, 0), 2: (0, 1)}
+
+    # sampling as a streaming filter: same rows kept as in batch mode
+    kept_stream = curate.stratified_sample(stream, {"en": 100, "de": 0})
+    q2 = (
+        kept_stream.writeStream.format("memory")
+        .queryName("cur_sample")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    kept = sorted(
+        r["doc_id"] for r in spark.sql("select * from cur_sample").collect()
+    )
+    assert kept == [0, 1]
