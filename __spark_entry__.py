@@ -1341,6 +1341,25 @@ FROM s4 LEFT JOIN nearhit USING (doc_id)
 """
 
 
+def _q_text_lm_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality score; DuckDB retrains the
+    identical LM from the same corpus and recomputes both metrics."""
+    return text_ops.lm_score(_load(spark, sf_dir, "documents"))
+
+
+_SQL_LM_SCORE = f"""
+WITH {_TOKS},
+lm AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt) AS total FROM lm),
+scored AS (SELECT t.doc_id, log10(lm.cnt / cast(tot.total AS double)) AS lp
+           FROM toks t JOIN lm USING (term), tot)
+SELECT doc_id,
+       {R4("avg(lp)")} AS lm_logprob,
+       {R4("power(10.0, -avg(lp))")} AS lm_ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 def _q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(_load(spark, sf_dir, "documents"))
 
@@ -1849,6 +1868,7 @@ _REGISTRY: dict[str, tuple] = {
     "text_quality": (_q_text_quality, _SQL_QUALITY),
     "text_langid": (_q_text_langid, _SQL_LANGID),
     "text_fingerprint": (_q_text_fingerprint, _SQL_FINGERPRINT),
+    "text_lm_score": (_q_text_lm_score, _SQL_LM_SCORE),
     "text_chunk_dedup": (_q_text_chunk_dedup, _SQL_CHUNK_DEDUP),
     "text_repetition": (_q_text_repetition, _SQL_REPETITION),
     "pipeline_clean": (_q_pipeline_clean, _SQL_PIPELINE_CLEAN),

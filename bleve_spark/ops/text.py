@@ -219,6 +219,37 @@ def repetition_metrics(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def lm_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 filters
+    CommonCrawl by KenLM perplexity; this is the deterministic
+    re-derivation with a unigram LM trained on the corpus itself —
+    no external model, same filtering shape: low-probability token
+    streams score as high-perplexity garbage).
+
+    Returns per doc the mean log10 unigram probability and the
+    unigram perplexity 10^(-mean). No OOV smoothing is needed — the
+    LM's training corpus IS the scored corpus.
+
+    Scale: one groupBy(term) trains the LM (map-side partial agg;
+    vocabulary-sized result), one shuffle join tokens x LM on term,
+    one partial-agg groupBy(doc). The corpus-total token count is a
+    vocabulary-sized sum collected as a single scalar. All exchanges
+    are keyed on high-cardinality columns; no driver-side loops.
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(F.col(text))).alias("term")
+    )
+    lm = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = lm.agg(F.sum("cnt")).collect()[0][0]
+    logp = F.log10(F.col("cnt") / F.lit(float(total)))
+    scored = toks.join(lm.select("term", logp.alias("logp")), "term")
+    avg_lp = F.avg("logp")
+    return scored.groupBy("doc_id").agg(
+        r4(avg_lp).alias("lm_logprob"),
+        r4(F.pow(F.lit(10.0), -avg_lp)).alias("lm_ppl"),
+    )
+
+
 def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (set-semantics rolling-hash analogue)."""

@@ -208,6 +208,27 @@ def test_token_count_bpe(spark):
     assert out[2] == 0
 
 
+def test_lm_score_unigram_values(spark):
+    from bleve_spark.ops import text as text_ops
+
+    # corpus: 4 tokens total, p(a)=p(b)=0.5 -> every doc's mean
+    # log10 prob is log10(0.5) and unigram perplexity is exactly 2
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r for r in text_ops.lm_score(df).collect()
+    }
+    assert out[0]["lm_logprob"] == out[1]["lm_logprob"] == -0.301
+    assert out[0]["lm_ppl"] == out[1]["lm_ppl"] == 2.0
+    # a rarer-token doc scores lower (higher perplexity)
+    df2 = spark.createDataFrame(
+        [(0, "x x x x x x x x x"), (1, "y")], ["doc_id", "text"]
+    )
+    out2 = {r["doc_id"]: r for r in text_ops.lm_score(df2).collect()}
+    assert out2[1]["lm_ppl"] > out2[0]["lm_ppl"]
+
+
 def test_stratified_sample_default_rate(spark, docs):
     out = curate.stratified_sample(
         docs, {"en": 0}, default_rate=100
