@@ -1504,6 +1504,44 @@ FROM ln
 _SAMPLE_RATES = {"en": 55, "de": 30, "fr": 75, "es": 10}
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the %37 benchmark slice as the
+    target domain; 512 hash buckets so collisions and smoothing are
+    both exercised at sf scale."""
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 37 == 0)
+    return curate.dsir_weights(docs, target, n_features=512)
+
+
+_SQL_DSIR = f"""
+WITH {_TOKS},
+uni AS (SELECT doc_id, term AS feat FROM toks),
+bi AS (SELECT a.doc_id, a.term || ' ' || b.term AS feat
+       FROM toks a JOIN toks b
+         ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+f AS (SELECT doc_id, feat FROM uni
+      UNION ALL SELECT doc_id, feat FROM bi),
+fb AS (SELECT doc_id,
+              cast(concat('0x', substr(md5(feat),1,8)) AS BIGINT) % 512
+                AS bucket
+       FROM f),
+slm AS (SELECT bucket, count(*) AS cs FROM fb GROUP BY bucket),
+tlm AS (SELECT bucket, count(*) AS ct FROM fb
+        WHERE doc_id % 37 = 0 GROUP BY bucket),
+tot AS (SELECT (SELECT sum(cs) FROM slm) AS ts,
+               (SELECT sum(ct) FROM tlm) AS tt),
+lm AS (SELECT slm.bucket,
+              ln((coalesce(ct, 0) + 1) / cast(tt + 512 AS double))
+              - ln((cs + 1) / cast(ts + 512 AS double)) AS lr
+       FROM slm LEFT JOIN tlm USING (bucket), tot)
+SELECT fb.doc_id AS doc_id,
+       count(*) AS n_feats,
+       {R4("sum(lr)")} AS dsir_logweight
+FROM fb JOIN lm USING (bucket)
+GROUP BY fb.doc_id
+"""
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Deterministic hash-bucket stratified sampling (per-language
     mixing quotas); md5-derived bucket so the oracle picks the
@@ -1878,6 +1916,7 @@ _REGISTRY: dict[str, tuple] = {
     "sample_stratified": (_q_sample_stratified, _sql_sample_stratified()),
     "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
     "cap_per_source": (_q_cap_per_source, _SQL_CAP_PER_SOURCE),
+    "dsir_weights": (_q_dsir_weights, _SQL_DSIR),
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
 }
 

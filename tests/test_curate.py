@@ -208,6 +208,43 @@ def test_token_count_bpe(spark):
     assert out[2] == 0
 
 
+def test_dsir_weights_prefer_target_like(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta gamma"),   # target-like
+            (1, "totally unrelated words here"),  # off-domain
+            (2, "alpha beta delta"),              # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha beta"), (101, "beta gamma alpha")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate.dsir_weights(
+            corpus, target, n_features=64
+        ).collect()
+    }
+    assert len(out) == 3
+    # n_feats = unigrams + bigrams
+    assert out[0]["n_feats"] == 5 + 4
+    # importance ordering: target-like > mixed > off-domain
+    assert (
+        out[0]["dsir_logweight"]
+        > out[2]["dsir_logweight"]
+        > out[1]["dsir_logweight"]
+    )
+
+
+def test_dsir_weights_guard():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_features"):
+        curate.dsir_weights(None, None, n_features=1)
+
+
 def test_lm_score_unigram_values(spark):
     from bleve_spark.ops import text as text_ops
 
