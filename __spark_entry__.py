@@ -813,6 +813,47 @@ GROUP BY cand.a, cand.b
 """
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs (minhash-LSH, est >= 0.5) resolved to duplicate
+    clusters via Hash-Min label propagation; the oracle computes the
+    same components with a recursive-CTE transitive closure over the
+    SQL-recomputed pair set."""
+    pairs = dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), k=3, n_hashes=16, bands=4
+    ).where(F.col("est_jaccard") >= 0.5)
+    return dedup.dup_clusters(pairs)
+
+
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_TOKS}, {_SH3},
+hs AS (SELECT unnest(range(16)) AS h),
+mh AS (SELECT s.doc_id, hs.h,
+              min(md5(cast(hs.h AS varchar) || ':' || s.shingle)) AS minhash
+       FROM sh s CROSS JOIN hs GROUP BY s.doc_id, hs.h),
+bk AS (SELECT doc_id, cast(h//4 AS int) AS band,
+              array_to_string(list(minhash ORDER BY minhash), '|') AS band_key
+       FROM mh GROUP BY doc_id, cast(h//4 AS int)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bk x JOIN bk y ON x.band=y.band AND x.band_key=y.band_key
+                             AND x.doc_id<y.doc_id),
+pairs AS (SELECT cand.a, cand.b
+          FROM cand
+          JOIN mh ma ON ma.doc_id=cand.a
+          JOIN mh mb ON mb.doc_id=cand.b AND mb.h=ma.h
+          GROUP BY cand.a, cand.b
+          HAVING sum(CASE WHEN ma.minhash=mb.minhash THEN 1 ELSE 0 END)/16.0
+                 >= 0.5),
+edges AS (SELECT a AS s, b AS d FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(n, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.n = e.d
+)
+SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     # max_hamming=3 -> 16-bit bands (65536 join buckets per band), the
     # scale-safe pigeonhole configuration; see dedup.simhash_pairs.
@@ -1501,6 +1542,56 @@ FROM ln
 """
 
 
+_LICENSE_HEADERS = [
+    "Permission is hereby granted, free of charge, to any person",
+    "Licensed under the Apache License, Version 2.0 (the License);",
+    "Redistribution and use in source and binary forms, with or without",
+    "under the terms of the GNU General Public License as published",
+]
+
+
+def _q_license_detect(spark, sf_dir):
+    """License-header detection over derived file contents: doc_id % 7
+    picks one of four canonical headers (or none) prefixed to the
+    text, so every signature branch and the 'none' fallback all fire;
+    identical derivation in the oracle."""
+    docs = _load(spark, sf_dir, "documents")
+    header = F.lit(None).cast("string")
+    for i, h in enumerate(_LICENSE_HEADERS):
+        header = F.when(F.col("doc_id") % 7 == i, F.lit(h)).otherwise(
+            header
+        )
+    content = F.when(
+        header.isNotNull(), F.concat(header, F.lit(" "), F.col("text"))
+    ).otherwise(F.col("text"))
+    return curate.license_detect(docs.withColumn("content", content))
+
+
+def _sql_license_detect() -> str:
+    hdr = " ".join(
+        "WHEN {} THEN '{}' || ' ' || text".format(i, h.replace("'", "''"))
+        for i, h in enumerate(_LICENSE_HEADERS)
+    )
+    case = " ".join(
+        f"WHEN regexp_matches(content, '{pat}') THEN '{name}'"
+        for name, _p, pat in curate.LICENSE_SIGNATURES
+    )
+    perm = " ".join(
+        f"WHEN regexp_matches(content, '{pat}') THEN {p}"
+        for _n, p, pat in curate.LICENSE_SIGNATURES
+    )
+    return f"""
+WITH files AS (
+  SELECT doc_id, CASE doc_id % 7 {hdr} ELSE text END AS content
+  FROM documents
+)
+SELECT doc_id,
+       CASE {case} ELSE 'none' END AS license,
+       cast(CASE {perm} ELSE 0 END AS INTEGER) AS is_permissive
+FROM files
+"""
+
+
 _SAMPLE_RATES = {"en": 55, "de": 30, "fr": 75, "es": 10}
 
 
@@ -1894,6 +1985,7 @@ _REGISTRY: dict[str, tuple] = {
     "dedup_jaccard": (_q_dedup_jaccard, _SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (_q_dedup_minhash_lsh, _SQL_DEDUP_MINHASH),
     "dedup_simhash": (_q_dedup_simhash, _sql_dedup_simhash()),
+    "dup_clusters": (_q_dup_clusters, _SQL_DUP_CLUSTERS),
     "knn_cosine": (_q_knn_cosine, _SQL_KNN),
     "knn_ivf": (_q_knn_ivf, _SQL_KNN),
     "knn_lsh": (_q_knn_lsh, _SQL_KNN_LSH),
@@ -1917,6 +2009,7 @@ _REGISTRY: dict[str, tuple] = {
     "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
     "cap_per_source": (_q_cap_per_source, _SQL_CAP_PER_SOURCE),
     "dsir_weights": (_q_dsir_weights, _SQL_DSIR),
+    "license_detect": (_q_license_detect, _sql_license_detect()),
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
 }
 

@@ -220,6 +220,85 @@ def minhash_lsh_pairs(
     return est
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate clusters (connected
+    components): pipelines don't drop per-pair — they keep one
+    canonical doc per component (MinHashLSH emits pairs; the keep/drop
+    decision needs the transitive closure, e.g. A~B, B~C must retire
+    both B and C, not just one of each pair).
+
+    Algorithm: Hash-Min label propagation (the standard BSP/GraphX
+    connected-components loop): every node starts labeled with its own
+    id; each round every node takes the min of its own and its
+    neighbors' labels; at fixpoint label == min id of the component,
+    reached in at most diameter rounds (dup clusters are small and
+    dense, so a handful). Each round is one equi-join + one partial-agg
+    groupBy — the shape that scales; `localCheckpoint` truncates the
+    growing lineage each round (the documented Spark idiom for
+    iterative algorithms). Convergence is detected by the label-sum
+    fixpoint (labels are monotone non-increasing, so an unchanged sum
+    means no label moved; summed as decimal(38,0) so 10^12-scale ids
+    cannot overflow the check).
+
+    Returns (doc_id, cluster_id = min doc id in its component) for
+    every doc that appears in at least one pair; docs with no pair are
+    their own singleton cluster and are simply absent.
+
+    No SQL oracle can express the unbounded iteration directly; the
+    driver-gate oracle uses DuckDB's recursive CTE transitive closure
+    (exact at test scale) — see __spark_entry__ dup_clusters.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("nnode"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels["node"] == neigh["nnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            f"component diameter exceeds max_iters; raise max_iters"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash64(df: DataFrame, text: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens (md5-derived bit vectors,
     tf-weighted), via an Arrow-batched pandas UDF. Hamming-close pairs =

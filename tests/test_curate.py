@@ -208,6 +208,71 @@ def test_token_count_bpe(spark):
     assert out[2] == 0
 
 
+def test_dup_clusters_transitive(spark):
+    from bleve_spark.ops import dedup
+
+    # components: {1,2,3} via chain 1-2, 2-3; {10,11}; pair order and
+    # direction must not matter
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_long_path_converges(spark):
+    from bleve_spark.ops import dedup
+
+    # path graph 0-1-2-...-9: worst-case diameter for propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == 10
+
+
+def test_dup_clusters_max_iters_raises(spark):
+    from bleve_spark.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iters=2)
+
+
+def test_license_detect(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "/* MIT License */ code here"),
+            (1, "Licensed under the Apache License, Version 2.0"),
+            (2, "Redistribution and use in source and binary forms"),
+            (3, "GNU General Public License v3"),
+            (4, "no header at all"),
+            # priority: MIT signature wins over GPL mention later on
+            (5, "Permission is hereby granted, free of charge ... "
+                "unlike the GNU General Public License"),
+        ],
+        ["doc_id", "content"],
+    )
+    out = {
+        r["doc_id"]: (r["license"], r["is_permissive"])
+        for r in curate.license_detect(df).collect()
+    }
+    assert out[0] == ("mit", 1)
+    assert out[1] == ("apache-2.0", 1)
+    assert out[2] == ("bsd", 1)
+    assert out[3] == ("gpl", 0)
+    assert out[4] == ("none", 0)
+    assert out[5] == ("mit", 1)
+
+
 def test_dsir_weights_prefer_target_like(spark):
     corpus = spark.createDataFrame(
         [
