@@ -391,7 +391,7 @@ def run_queries(spark) -> dict:
 
     for name in (
         "dedup_minhash_lsh", "dedup_simhash", "knn_cosine", "text_quality",
-        "pipeline_clean", "text_decontaminate",
+        "pipeline_clean", "text_decontaminate", "dup_clusters",
     ):
         fn = entrymod.queries()[name]
         meas(f"op_{name}", lambda fn=fn: fn(spark, SF_DIR).collect(), reps=3)
