@@ -51,6 +51,13 @@ class FieldMapping:
     # reference requires an explicit 0 < dims <= 2048)
     dims: int = 0
     similarity: str = ""  # "" -> DEFAULT_SIMILARITY_METRIC for vectors
+    # Engine extension: declare the field's vectors unit-normalized.
+    # Hyperplane LSH is an ANGULAR family — it only preserves angular
+    # neighbors, so for dot_product (MIPS) the true max-inner-product
+    # neighbor of non-unit vectors can sit in a never-probed bucket.
+    # dot_product therefore takes the exact scan unless this opt-in
+    # asserts ||v||=1 (where dot == cosine and the LSH route is sound).
+    unit_norm: bool = False
 
 
 def validate_vector_field(fm: FieldMapping) -> FieldMapping:

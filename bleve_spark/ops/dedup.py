@@ -256,44 +256,49 @@ def dup_clusters(
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.union(rev).distinct().cache()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
-    )
-    prev = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).collect()[0][0]
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("nnode"))
-            .agg(F.min("label").alias("nlabel"))
-        )
+    try:
         labels = (
-            labels.join(neigh, labels["node"] == neigh["nnode"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nlabel"), F.col("label")),
-                ).alias("label"),
-            )
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
             .localCheckpoint()
         )
-        cur = labels.agg(
+        prev = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"dup_clusters did not converge in {max_iters} rounds — "
-            f"component diameter exceeds max_iters; raise max_iters"
-        )
-    edges.unpersist()
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("nnode"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            labels = (
+                labels.join(neigh, labels["node"] == neigh["nnode"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            cur = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} rounds — "
+                f"component diameter exceeds max_iters; raise max_iters"
+            )
+    finally:
+        # unpersist on every exit path — the non-convergence raise (and
+        # any mid-loop failure) must not leak the cached edges for the
+        # session lifetime
+        edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

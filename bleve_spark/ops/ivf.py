@@ -42,10 +42,13 @@ from .similarity import cosine_to_query, dot_to_query, l2sq_to_query
 _METRIC_COLS = {"cosine": "cos", "dot_product": "dot", "l2_norm": "l2sq"}
 
 
-def _content_hash(vec_col: str):
+def _content_hash(vec_col: str, seed: int = 0):
     # deterministic, order-independent sample key: hash the vector's
-    # JSON rendering (stable formatting for float32-sourced values)
-    return F.xxhash64(F.to_json(F.struct(F.col(vec_col))))
+    # JSON rendering (stable formatting for float32-sourced values).
+    # The seed is a hash INPUT (extra xxhash64 argument), not an
+    # additive constant — adding a constant preserves orderBy order,
+    # which would make `seed` a no-op for sampling/init.
+    return F.xxhash64(F.to_json(F.struct(F.col(vec_col))), F.lit(int(seed)))
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -85,27 +88,57 @@ def ivf_fit(
     sample: int = 100_000,
 ) -> np.ndarray:
     """Seeded Lloyd k-means over a deterministic hash-sample; returns
-    the (n_cells, dim) centroid matrix. Raises if the corpus cannot
-    seat one distinct vector per cell."""
+    the (n_cells, dim) centroid matrix. Raises if the sample cannot
+    seat one DISTINCT vector per cell (duplicate vectors would seed
+    identical centroids; argmin ties break low, so the duplicate cell
+    would never receive assignments and stay frozen)."""
     keyed = df.where(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).alias("v"),
-        (_content_hash(vec_col) + F.lit(int(seed))).alias("hk"),
+        _content_hash(vec_col, seed).alias("hk"),
     )
-    pool = keyed.orderBy("hk").limit(int(sample)).select("v")
+    pool = keyed.orderBy("hk").limit(int(sample))
     pool = pool.persist()
     try:
+        # ragged rows (wrong-dim vectors) must not seed centroids or
+        # feed the means: resolve the sample's modal dimension and fit
+        # on that slice only — assign_cells later stamps the stragglers
+        # with the -1 sentinel, same contract as the LSH bucket UDFs
+        sizes = (
+            pool.groupBy(F.size("v").alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("d"))
+            .limit(1)
+            .collect()
+        )
+        if not sizes:
+            raise ValueError("ivf_fit: no non-null vectors to fit on")
+        dim = int(sizes[0]["d"])
+        pool = pool.where(F.size("v") == dim)
         n_pool = pool.count()
         if n_pool < n_cells:
             raise ValueError(
                 f"ivf_fit: n_cells={n_cells} exceeds the {n_pool}-vector "
                 f"sample; lower n_cells or raise `sample`"
             )
-        cents = np.asarray(
-            [
-                np.asarray(r["v"], dtype=np.float64)
-                for r in keyed.orderBy("hk").limit(n_cells).collect()
-            ]
-        )
+        # hk is a pure function of (vector, seed), so dropDuplicates on
+        # hk dedupes vectors (hash collisions merge a pair — harmless
+        # for init). Iterations keep the full multiset: duplicates are
+        # genuine frequency weight for the means.
+        init = [
+            np.asarray(r["v"], dtype=np.float64)
+            for r in pool.dropDuplicates(["hk"])
+            .orderBy("hk")
+            .limit(n_cells)
+            .collect()
+        ]
+        if len(init) < n_cells:
+            raise ValueError(
+                f"ivf_fit: only {len(init)} distinct vectors in the "
+                f"{n_pool}-row sample; n_cells={n_cells} needs one "
+                f"distinct vector per cell — lower n_cells or raise "
+                f"`sample`"
+            )
+        cents = np.asarray(init)
         for _ in range(int(iters)):
             assigned = pool.select(
                 _assign_udf(cents)(F.col("v")).alias("cell"),

@@ -1751,10 +1751,11 @@ class Searcher:
             # (the wand_min_postings cost-model pattern: the bucket
             # UDF pass only pays off once the corpus dwarfs it).
             # The hyperplane-LSH prefilter is an ANGULAR family, so it
-            # applies to cosine/dot_product only; l2_norm always takes
-            # the exact scan — at cluster scale, unit-normalize the
-            # embeddings and use dot_product (rank-equivalent to l2 on
-            # unit vectors) to get the bucket route.
+            # applies to cosine always, and to dot_product only when
+            # the FieldMapping declares unit_norm=True (dot == cosine
+            # there); non-unit dot_product and l2_norm take the exact
+            # scan. At cluster scale, unit-normalize the embeddings and
+            # set unit_norm to get the bucket route.
             from .mapping import (
                 COSINE,
                 COSINE_SIMILARITY,
@@ -1772,6 +1773,7 @@ class Searcher:
             )
 
             metric = COSINE
+            unit_norm = False
             fm = (
                 self.index.mapping.fields.get(kr.field)
                 if self.index.mapping is not None
@@ -1779,12 +1781,18 @@ class Searcher:
             )
             if fm is not None and fm.type == "vector":
                 metric = validate_vector_field(fm).similarity
+                unit_norm = bool(fm.unit_norm)
 
+            # LSH is angular: sound for cosine always, for dot_product
+            # only when the field is declared unit-norm (then dot ==
+            # cosine). Non-unit dot_product (MIPS) and l2_norm take the
+            # exact scan — a never-probed bucket can hold the true
+            # max-inner-product / nearest-l2 neighbor.
+            lsh_safe = metric == COSINE or (
+                metric == COSINE_SIMILARITY and unit_norm
+            )
             cand = self.index.docs
-            if (
-                metric != EUCLIDEAN_DISTANCE
-                and self.index.doc_count >= self.knn_lsh_min_docs
-            ):
+            if lsh_safe and self.index.doc_count >= self.knn_lsh_min_docs:
                 if self.knn_lsh_tables > 1:
                     pre = f"{kr.field}__buckets"
                     src = cand

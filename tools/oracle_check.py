@@ -37,9 +37,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     for c in out.columns:
         if out[c].dtype.kind == "f":
-            out[c] = out[c].map(lambda x: f"{x:.6f}")
+            out[c] = out[c].map(lambda x: f"{x:.6f}").astype(object)
         else:
-            out[c] = out[c].astype(str)
+            out[c] = out[c].astype(str).astype(object)
+    # astype(object) keeps empty frames dtype-comparable: a 0-row float64
+    # column vs a 0-row object column would fail DataFrame.equals even
+    # though both stringify to nothing (the driver gate hashes values, so
+    # empty==empty there; the replica must match that)
     return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 
