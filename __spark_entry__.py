@@ -134,6 +134,73 @@ ORDER BY score_r DESC, cast(t.doc_id AS varchar) LIMIT 10
 """
 
 
+_STREAMED: dict[str, SearchIndex] = {}
+
+
+def _streamed_doc_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Build the documents index via the STREAMING ingest path
+    (readStream -> foreachBatch -> one segment per micro-batch,
+    streaming.py stream_index) instead of the offline builder. The
+    corpus is staged as 4 parquet files and ingested with
+    maxFilesPerTrigger=1, so the index genuinely accretes across 4
+    micro-batches; the checkpoint makes re-runs exactly-once."""
+    if sf_dir in _STREAMED:
+        return _STREAMED[sf_dir]
+    import shutil
+
+    from bleve_spark.streaming import stream_index
+    from bleve_spark.writer import IndexWriter
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/bleve_spark_entry/streamed_{key}"
+    idx_dir = os.path.join(base, "idx")
+    stage = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    docs = _load(spark, sf_dir, "documents")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+        writer = IndexWriter(spark, documents_mapping(), idx_dir)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream_index(
+            writer,
+            stream,
+            id_expr=F.col("doc_id").cast("string"),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+        with open(marker, "w") as f:
+            f.write("ok")
+    idx = SearchIndex(spark, idx_dir, documents_mapping())
+    _STREAMED[sf_dir] = idx
+    return idx
+
+
+def _q_ft_term_streamed(spark, sf_dir):
+    """ft_term_tfidf's exact query against the micro-batch-streamed
+    index — batch/streaming build parity (same oracle SQL): segment
+    accretion via the introducer path must not change corpus stats,
+    postings, or scores."""
+    s = Searcher(_streamed_doc_index(spark, sf_dir), scoring.TFIDF)
+    hits = _all_hits(
+        s,
+        Q.TermQuery(field="text", term="spark"),
+        F.col("doc_id"),
+        r4(F.col("score")).alias("score_r"),
+        F.col("_id").alias("sid"),
+    )
+    return (
+        hits.orderBy(F.desc("score_r"), F.asc("sid"))
+        .limit(10)
+        .select("doc_id", "score_r")
+    )
+
+
 def _q_ft_term_bm25(spark, sf_dir):
     s = _searcher(spark, sf_dir, scoring.BM25)
     hits = _all_hits(
@@ -1977,6 +2044,8 @@ _REGISTRY: dict[str, tuple] = {
     "dsir_weights": (_q_dsir_weights, _SQL_DSIR),
     "license_detect": (_q_license_detect, _sql_license_detect()),
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
+    # streaming-built index, batch-parity oracle (round-5 verdict item 3)
+    "ft_term_streamed": (_q_ft_term_streamed, _SQL_FT_TERM_TFIDF),
     # -- tier 2: everything else
     "ft_multi_phrase": (_q_ft_multi_phrase, _SQL_FT_MULTI_PHRASE),
     "ft_highlight": (_q_ft_highlight, _SQL_FT_HIGHLIGHT),
