@@ -269,14 +269,50 @@ def _shape_bbox_udf(vals: pd.Series) -> pd.DataFrame:
 
 
 def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers — no Spark job."""
+    """Row count from parquet footers — no Spark job. Walks into
+    partition subdirectories (postings are partitionBy(tbucket))."""
     import pyarrow.parquet as pq
 
     total = 0
-    for f in os.listdir(path):
-        if f.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
     return total
+
+
+# -- directory-level postings pruning ----------------------------------------
+# Postings are written partitionBy(tbucket) where tbucket =
+# crc32(field || \x00 || term) % n_tbuckets. A literal term lookup
+# derives its bucket in pure Python (zlib.crc32 == Spark's crc32,
+# CRC-32/ISO-HDLC) and filters on the partition column, so the scan
+# LISTS only 1/n of the files — at 100k-file scale every other layout
+# still opens every footer (the scorch analogue: each segment's FST
+# dictionary keys the term lookup, index/scorch/snapshot_index.go:475).
+# Within a bucket, files stay (field, term)-sorted so parquet row-group
+# min/max stats skip as before.
+
+DEFAULT_TBUCKETS = 16
+TBUCKETS_MARKER = "_TBUCKETS.json"
+
+
+def tbucket_col(field_col, term_col, n: int):
+    """JVM-side bucket expression (write path / DataFrame-native
+    expansion joins)."""
+    return F.pmod(
+        F.crc32(
+            F.concat_ws("\x00", field_col, term_col).cast("binary")
+        ),
+        F.lit(int(n)),
+    ).cast("int")
+
+
+def tbucket_of(field: str, term: str, n: int) -> int:
+    """Driver-side bucket for a literal (field, term) — zlib.crc32 is
+    bit-identical to Spark's crc32 for UTF-8 bytes."""
+    import zlib
+
+    return zlib.crc32(f"{field}\x00{term}".encode("utf-8")) % int(n)
 
 
 @dataclass
@@ -312,11 +348,14 @@ class IndexBuilder:
         mapping: IndexMapping,
         index_path: str,
         block_shift: int = DEFAULT_BLOCK_SHIFT,
+        tbuckets: int = DEFAULT_TBUCKETS,
     ):
         self.spark = spark
         self.mapping = mapping
         self.index_path = index_path
         self.block_shift = block_shift
+        # directory-level term pruning fanout; 0/1 disables partitioning
+        self.tbuckets = int(tbuckets)
 
     # -- stage plumbing ----------------------------------------------------
 
@@ -581,10 +620,46 @@ class IndexBuilder:
             blocks = sorted_rows.mapInPandas(
                 _encode_sorted_stream, POSTINGS_SCHEMA
             )
-            with self._fine_splits("analyzed"):
-                blocks.write.mode("overwrite").parquet(
-                    self._stage_dir("postings")
+            if self.tbuckets > 1:
+                # directory-level pruning: partition the (few) encoded
+                # block rows by term bucket. The local re-sort puts
+                # tbucket first so the dynamic-partition writer's
+                # required ordering is already satisfied (no extra
+                # sort) and files stay (field, term)-sorted within each
+                # bucket for row-group min/max skipping.
+                blocks = blocks.withColumn(
+                    "tbucket",
+                    tbucket_col(F.col("field"), F.col("term"), self.tbuckets),
+                ).sortWithinPartitions("tbucket", "field", "term", "block")
+                with self._fine_splits("analyzed"):
+                    blocks.write.partitionBy("tbucket").mode(
+                        "overwrite"
+                    ).parquet(self._stage_dir("postings"))
+                pdir = self._stage_dir("postings")
+                wrote_any = any(
+                    f.endswith(".parquet")
+                    for _r, _d, fs in os.walk(pdir)
+                    for f in fs
                 )
+                if wrote_any:
+                    with open(
+                        os.path.join(pdir, TBUCKETS_MARKER), "w"
+                    ) as f:
+                        json.dump({"n_tbuckets": self.tbuckets}, f)
+                else:
+                    # empty postings (vector/geo/numeric-only index): a
+                    # partitionBy write of 0 rows emits NO files, which
+                    # a later read cannot infer a schema from — write
+                    # the flat empty parquet (one 0-row footer file)
+                    # and no marker, like a pre-tbucket index
+                    blocks.drop("tbucket").limit(0).write.mode(
+                        "overwrite"
+                    ).parquet(pdir)
+            else:
+                with self._fine_splits("analyzed"):
+                    blocks.write.mode("overwrite").parquet(
+                        self._stage_dir("postings")
+                    )
             self._mark_stage("postings", fingerprint)
             report.add("postings", _parquet_rows(self._stage_dir("postings")), (time.time() - t0) * 1e3)
 

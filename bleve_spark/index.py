@@ -172,9 +172,22 @@ class SearchIndex:
 
     def _table(self, name: str) -> DataFrame:
         if self._seg_metas:
-            return self.spark.read.parquet(
-                *[os.path.join(m["dir"], name) for m in self._seg_metas]
-            )
+            paths = [os.path.join(m["dir"], name) for m in self._seg_metas]
+            if name == "postings" and len(paths) > 1:
+                # each segment's postings dir is its own partitionBy
+                # (tbucket) root: a single multi-path read would try to
+                # discover ONE partition scheme across conflicting roots
+                # (CONFLICTING_DIRECTORY_STRUCTURES). Per-root scans
+                # unioned keep per-scan partition pruning; tiered merging
+                # bounds the segment count, so the union stays small.
+                from functools import reduce
+
+                dfs = [self.spark.read.parquet(p) for p in paths]
+                return reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    dfs,
+                )
+            return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(os.path.join(self.index_path, name))
 
     @cached_property
@@ -231,6 +244,30 @@ class SearchIndex:
     @cached_property
     def postings(self) -> DataFrame:
         return self._table("postings")
+
+    @cached_property
+    def tbuckets(self) -> Optional[int]:
+        """Directory-pruning fanout, if EVERY postings dir was written
+        partitionBy(tbucket) with the SAME n (build.py stage 4). Any
+        missing/odd marker disables the pruned path — correctness never
+        depends on the layout."""
+        import json as _json
+
+        dirs = (
+            [os.path.join(m["dir"], "postings") for m in self._seg_metas]
+            if self._seg_metas
+            else [os.path.join(self.index_path, "postings")]
+        )
+        from .build import TBUCKETS_MARKER
+
+        ns = set()
+        for d in dirs:
+            try:
+                with open(os.path.join(d, TBUCKETS_MARKER)) as f:
+                    ns.add(int(_json.load(f)["n_tbuckets"]))
+            except (OSError, ValueError, KeyError):
+                return None
+        return ns.pop() if len(ns) == 1 else None
 
     @cached_property
     def dictionary(self) -> DataFrame:
@@ -336,12 +373,21 @@ class SearchIndex:
     # -- postings ---------------------------------------------------------
 
     def blocks(self, field: str, terms: Iterable[str]) -> DataFrame:
-        """Compressed posting blocks for (field, term in terms); parquet
-        scan prunes on the pushed-down field/term filters."""
+        """Compressed posting blocks for (field, term in terms). With a
+        tbucket layout the literal terms' buckets are derived driver-side
+        (zlib.crc32, no Spark job) and become a PartitionFilter — the
+        scan lists ~len(buckets)/n of the files instead of opening every
+        footer; field/term predicates still push down for row-group
+        skipping within the listed files."""
         terms = list(dict.fromkeys(terms))
-        return self.postings.where(
-            (F.col("field") == field) & F.col("term").isin(terms)
-        )
+        cond = (F.col("field") == field) & F.col("term").isin(terms)
+        n = self.tbuckets
+        if n and terms:
+            from .build import tbucket_of
+
+            bks = sorted({tbucket_of(field, t, n) for t in terms})
+            cond = F.col("tbucket").isin(bks) & cond
+        return self.postings.where(cond)
 
     def decoded(
         self,
