@@ -385,6 +385,25 @@ def run_queries(spark) -> dict:
     # of the dictionary slice into the postings scan)
     meas("q_prefix_1char", topk(Q.PrefixQuery(field="content", prefix="u")),
          reps=3)
+    # Zipf-extreme skew row (round-5 verdict item 4): "func" appears in
+    # EVERY corpus doc (df == N), with block-max WAND forced on
+    # (wand_min_postings=1 simulates the 5e7-posting engagement floor
+    # this corpus can't reach). The build salts postings by docid-range
+    # block, so no single reducer ever held the term's full postings;
+    # gate: within 2x of q_term_hot.
+    def topk_wand(q, sim=scoring.TFIDF, size=10):
+        def run():
+            Searcher(idx, sim, wand_min_postings=1).search(
+                SearchRequest(query=q, size=size, similarity=sim)
+            ).hits.collect()
+
+        return run
+
+    meas(
+        "q_term_df_eq_n",
+        topk_wand(Q.TermQuery(field="content", term="func")),
+        reps=3,
+    )
 
     # ops over the driver's sf tables
     import __spark_entry__ as entrymod
@@ -401,6 +420,46 @@ def run_queries(spark) -> dict:
     fn = entrymod.queries()["ft_phrase"]
     fn(spark, SF_DIR).collect()  # build/warm outside the timer
     meas("q_phrase_sfdocs", lambda: fn(spark, SF_DIR).collect(), reps=3)
+
+    # alias / MultiSearch fan-out (round-5 verdict item 7): the same
+    # term query over ONE documents index vs an IndexAlias of 4 shards
+    # (per-shard top-k + per-shard stats merge, alias.py). Shard builds
+    # and JIT warm-up run outside the timers. Gate: alias within 1.5x
+    # of the single-index row.
+    from bleve_spark import IndexBuilder, documents_mapping
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    shard_searchers = []
+    for k in range(4):
+        p = f"/tmp/bench_alias_shard_{n_docs}_{k}"
+        IndexBuilder(spark, documents_mapping(), p).build(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == k),
+            id_expr=F.col("doc_id").cast("string"),
+            fingerprint=f"{SF_DIR}:{n_docs}:shard{k}",
+        )
+        shard_searchers.append(
+            Searcher(SearchIndex(spark, p, documents_mapping()))
+        )
+    from bleve_spark.alias import IndexAlias
+
+    alias = IndexAlias(shard_searchers)
+    single = entrymod._searcher(spark, SF_DIR)
+    sreq = SearchRequest(
+        query=Q.TermQuery(field="text", term="spark"), size=10
+    )
+    single.search(sreq).hits.collect()  # warm
+    alias.search(sreq).hits.collect()
+    meas(
+        "q_term_sfdocs_1shard",
+        lambda: single.search(sreq).hits.collect(),
+        reps=3,
+    )
+    meas(
+        "q_alias_4shard",
+        lambda: alias.search(sreq).hits.collect(),
+        reps=3,
+    )
     return out, ctl
 
 

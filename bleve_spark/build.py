@@ -19,9 +19,10 @@ Scale notes (100 TB / 1000 executors):
 - docids are deterministic dense ranks over the _id sort key (two-pass
   range-partitioned ranking) — never monotonically_increasing_id — so
   output is rank-identical across cluster sizes (north rule).
-- postings are written bucketed by hash(term) and sorted by (term, block)
-  within files, so a term-predicate scan prunes to one bucket's files and
-  row-group min/max on `term` prunes within them.
+- postings are written partitionBy(tbucket = crc32(field,term) % n) and
+  sorted by (term, block) within files, so a literal term lookup LISTS
+  only 1/n of the files (directory-level partition pruning) and row-group
+  min/max on `term` prunes within them.
 """
 
 from __future__ import annotations
@@ -603,18 +604,21 @@ class IndexBuilder:
             t0 = time.time()
             rows = analyzed.where(F.col("term").isNotNull())
 
-            # ONE wide shuffle: hash-partition by (field, term) — all of a
-            # term's blocks land in one bucket (scan pruning + contiguous
-            # groups) — then a Tungsten sort and a streaming block encoder.
-            # The docid-range `block` key bounds any single group's size,
-            # and reducer skew is bounded by sum-of-term-postings per hash
-            # bucket, not per hot term.
+            # ONE wide shuffle: hash-partition by (field, term, BLOCK) —
+            # the docid-range block key IS the salt that defuses hot-term
+            # skew (module docstring): a df≈N term's postings spread over
+            # ~N/2^shift reducers instead of landing on one. Each
+            # (field, term, block) group is complete within its partition
+            # (hash on all three keys), so the streaming encoder emits
+            # exactly one posting row per group; scan pruning comes from
+            # the tbucket directory layout + row-group min/max, not from
+            # file contiguity.
             nbuckets = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             sorted_rows = (
                 rows.withColumn(
                     "block", F.shiftright(F.col("docid"), self.block_shift)
                 )
-                .repartition(nbuckets, "field", "term")
+                .repartition(nbuckets, "field", "term", "block")
                 .sortWithinPartitions("field", "term", "block", "docid")
             )
             blocks = sorted_rows.mapInPandas(
