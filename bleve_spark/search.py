@@ -40,6 +40,18 @@ from .index import SearchIndex
 # (ref: search/searcher/search_disjunction.go:25-28).
 DisjunctionMaxClauseCount = 0
 
+# ref: search/searcher/search_fuzzy.go:25 (var MaxFuzziness = 2) — the
+# reference caps the Levenshtein automaton at distance 2 and rejects
+# negative fuzziness; error strings match NewFuzzySearcher's.
+MaxFuzziness = 2
+
+
+def _check_fuzziness(fuzziness: int) -> None:
+    if fuzziness > MaxFuzziness:
+        raise ValueError(f"fuzziness exceeds max ({MaxFuzziness})")
+    if fuzziness < 0:
+        raise ValueError("invalid fuzziness, negative")
+
 
 class TooManyClausesError(Exception):
     """ref: search/searcher/search_disjunction.go:112-115."""
@@ -977,6 +989,7 @@ class Searcher:
         """Dictionary scan with bounded edit distance
         (ref: searcher/search_fuzzy.go:25-140); F.levenshtein is the
         built-in DP."""
+        _check_fuzziness(fuzziness)
         pred = F.levenshtein(F.col("term"), F.lit(term)) <= fuzziness
         if prefix_len > 0:
             pred = pred & F.col("term").startswith(term[:prefix_len])
@@ -992,6 +1005,7 @@ class Searcher:
         if isinstance(q, Q.RegexpQuery):
             return F.col("term").rlike(f"^(?:{q.regexp})$")
         if isinstance(q, Q.FuzzyQuery):
+            _check_fuzziness(q.fuzziness)
             pred = (
                 F.levenshtein(F.col("term"), F.lit(q.term)) <= q.fuzziness
             )
