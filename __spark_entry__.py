@@ -1019,6 +1019,38 @@ def _q_knn_ivf(spark, sf_dir):
     )
 
 
+def _q_knn_ivf_refit(spark, sf_dir):
+    """Versioned IVF refit under append (ops/ivf.py ivf_refit): even
+    vec_ids are fit+stamped at generation 0; odd vec_ids arrive later
+    and ivf_refit stamps ONLY them at generation 1 (gen-0 stamps
+    bit-untouched — old segments never rewrite). The versioned probe
+    ranks cells per generation; at nprobe == n_cells it is exhaustive,
+    so the exact cosine top-k SQL is a true oracle while the plan
+    exercises refit + per-generation probing (the knn_ivf pattern)."""
+    from bleve_spark.ops import ivf
+
+    emb = _load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    wave1 = emb.where(F.col("vec_id") % 2 == 0)
+    wave2 = emb.where(F.col("vec_id") % 2 != 0)
+    cents0 = ivf.ivf_fit(wave1, n_cells=8, iters=3, seed=7)
+    grown = ivf.assign_cells(wave1, cents0).unionByName(
+        wave2, allowMissingColumns=True
+    )
+    stamped, versions = ivf.ivf_refit(grown, [cents0], n_cells=8, iters=3)
+    return (
+        ivf.ivf_topk_versioned(
+            stamped,
+            versions,
+            _query_vec(spark, sf_dir),
+            k=10,
+            nprobe=8,
+            id_col="vec_id",
+        )
+        .select("vec_id", r4(F.col("cos")).alias("cos_r"))
+        .orderBy(F.desc("cos_r"), "vec_id")
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     # Scalable path: banded-LSH candidate generation + exact cosine filter
     # (ops/similarity.all_pairs_above) — no all-pairs join in the plan.
@@ -2046,6 +2078,8 @@ _REGISTRY: dict[str, tuple] = {
     "multimodal_features": (_q_multimodal_features, _sql_multimodal_features()),
     # streaming-built index, batch-parity oracle (round-5 verdict item 3)
     "ft_term_streamed": (_q_ft_term_streamed, _SQL_FT_TERM_TFIDF),
+    # versioned IVF refit, exhaustive-probe oracle (round-5 item 5)
+    "knn_ivf_refit": (_q_knn_ivf_refit, _SQL_KNN),
     # -- tier 2: everything else
     "ft_multi_phrase": (_q_ft_multi_phrase, _SQL_FT_MULTI_PHRASE),
     "ft_highlight": (_q_ft_highlight, _SQL_FT_HIGHLIGHT),
