@@ -2058,7 +2058,7 @@ FROM best WHERE rn = 1
 #   1. the 7 ops that had no committed driver row through round 4
 #      (code_quality..multimodal_features — multimodal was round 3's
 #      red row and needs a driver-produced green row), then
-#   2. every remaining op, with the 8 SAFEST rows last — each tail row
+#   2. every remaining op, with the 9 SAFEST rows last — each tail row
 #      has committed green rows in prior CORRECTNESS files AND an
 #      in-gate sibling covering the same operator family (knn_cosine/
 #      knn_vector_field share _SQL_KNN with knn_ivf; ft_bool_conj
@@ -2080,8 +2080,8 @@ _REGISTRY: dict[str, tuple] = {
     "ft_term_streamed": (_q_ft_term_streamed, _SQL_FT_TERM_TFIDF),
     # versioned IVF refit, exhaustive-probe oracle (round-5 item 5)
     "knn_ivf_refit": (_q_knn_ivf_refit, _SQL_KNN),
-    # -- tier 2: everything else
-    "ft_multi_phrase": (_q_ft_multi_phrase, _SQL_FT_MULTI_PHRASE),
+    # -- tier 2: everything else (first 41 fit the 50-row gate window
+    #    together with tier 1)
     "ft_highlight": (_q_ft_highlight, _SQL_FT_HIGHLIGHT),
     "ft_term_tfidf": (_q_ft_term_tfidf, _SQL_FT_TERM_TFIDF),
     "ft_term_bm25": (_q_ft_term_bm25, _SQL_FT_TERM_BM25),
@@ -2125,6 +2125,7 @@ _REGISTRY: dict[str, tuple] = {
     "text_pii": (_q_text_pii, _sql_text_pii()),
     # -- tier 3 (tail): multiply-evidenced rows with in-gate family
     #    siblings; safe to fall past a 50-row gate cap
+    "ft_multi_phrase": (_q_ft_multi_phrase, _SQL_FT_MULTI_PHRASE),
     "knn_cosine": (_q_knn_cosine, _SQL_KNN),
     "knn_vector_field": (_q_knn_vector_field, _SQL_KNN),
     "ft_bool_conj": (_q_ft_bool_conj, _SQL_FT_BOOL),
