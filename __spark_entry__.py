@@ -181,6 +181,68 @@ def _streamed_doc_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+_WINDOW_COUNTS: dict[str, DataFrame] = {}
+
+
+def _q_stream_window_counts(spark, sf_dir):
+    """Structured-Streaming windowed aggregation oracle (streaming.py's
+    windowed_term_counts pattern over the events table): stage the
+    events as 4 files, readStream with maxFilesPerTrigger=1 so the
+    aggregation state genuinely accretes across 4 micro-batches, tumble
+    into 1-hour event-time windows per event_type, complete-mode memory
+    sink. Complete mode recounts all windows, so the final table equals
+    the batch GROUP BY — which is exactly the DuckDB oracle."""
+    if sf_dir in _WINDOW_COUNTS:
+        return _WINDOW_COUNTS[sf_dir]
+    import shutil
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/bleve_spark_entry/wincnt_{key}"
+    stage = os.path.join(base, "src")
+    events = _load(spark, sf_dir, "events")
+    shutil.rmtree(base, ignore_errors=True)
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = stream.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("win"),
+        "event_type",
+    ).count()
+    qname = f"wincnt_{key}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start"
+        ),
+        "event_type",
+        F.col("count").alias("cnt"),
+    )
+    # memory-sink tables are session-lived; materialize before the next
+    # call can overwrite the query name
+    out = spark.createDataFrame(out.collect(), out.schema)
+    _WINDOW_COUNTS[sf_dir] = out
+    return out
+
+
+_SQL_STREAM_WINDOW_COUNTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS cnt
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_ft_term_streamed(spark, sf_dir):
     """ft_term_tfidf's exact query against the micro-batch-streamed
     index — batch/streaming build parity (same oracle SQL): segment
@@ -2080,13 +2142,18 @@ _REGISTRY: dict[str, tuple] = {
     "ft_term_streamed": (_q_ft_term_streamed, _SQL_FT_TERM_TFIDF),
     # versioned IVF refit, exhaustive-probe oracle (round-5 item 5)
     "knn_ivf_refit": (_q_knn_ivf_refit, _SQL_KNN),
+    # streaming windowed aggregation (complete-mode memory sink ==
+    # batch GROUP BY)
+    "stream_window_counts": (
+        _q_stream_window_counts,
+        _SQL_STREAM_WINDOW_COUNTS,
+    ),
     # -- tier 2: everything else (first 41 fit the 50-row gate window
     #    together with tier 1)
     "ft_highlight": (_q_ft_highlight, _SQL_FT_HIGHLIGHT),
     "ft_term_tfidf": (_q_ft_term_tfidf, _SQL_FT_TERM_TFIDF),
     "ft_term_bm25": (_q_ft_term_bm25, _SQL_FT_TERM_BM25),
     "ft_query_string": (_q_ft_query_string, _SQL_FT_BOOL),
-    "ft_facet_nchars": (_q_ft_facet_nchars, _SQL_FT_FACET_NCHARS),
     "ft_geo_distance": (_q_ft_geo_distance, _SQL_FT_GEO_DISTANCE),
     "ft_ip_range": (_q_ft_ip_range, _SQL_FT_IP_RANGE),
     "ft_phrase": (_q_ft_phrase, _SQL_FT_PHRASE),
@@ -2126,6 +2193,7 @@ _REGISTRY: dict[str, tuple] = {
     # -- tier 3 (tail): multiply-evidenced rows with in-gate family
     #    siblings; safe to fall past a 50-row gate cap
     "ft_multi_phrase": (_q_ft_multi_phrase, _SQL_FT_MULTI_PHRASE),
+    "ft_facet_nchars": (_q_ft_facet_nchars, _SQL_FT_FACET_NCHARS),
     "knn_cosine": (_q_knn_cosine, _SQL_KNN),
     "knn_vector_field": (_q_knn_vector_field, _SQL_KNN),
     "ft_bool_conj": (_q_ft_bool_conj, _SQL_FT_BOOL),
