@@ -470,13 +470,20 @@ class Searcher:
                 else:
                     return self._empty()
             if should_df is not None:
+                # min_should == 0: should is an optional score bonus
+                # (left join). min_should > 0: should becomes REQUIRED —
+                # the reference only lets a must-only doc through "when
+                # shouldSearcher.Min() == 0" (search_boolean.go:282-290),
+                # so a doc failing the min-disjunction is excluded even
+                # if every must clause matches.
+                how = "inner" if min_should > 0 else "left"
                 base = (
                     base.join(
                         should_df.select(
                             "docid", F.col("score").alias("_should_score")
                         ),
                         "docid",
-                        "left",
+                        how,
                     )
                     .withColumn(
                         "score",

@@ -1,0 +1,275 @@
+"""Port of the reference searcher composition tables over the FULL
+twoDocIndex fixture (search/searcher/base_test.go:87-115, all four
+fields):
+
+- search_boolean_test.go   TestBooleanSearch tests 0-7
+- search_conjunction_test.go TestConjunctionSearch tests 0-5
+- search_disjunction_test.go TestDisjunctionSearch tests 0-1
+
+Expected doc sets AND scores are the reference's literals (its own
+tolerance, scoresCloseEnough = 1e-3); nested queryNorm composition
+(each conjunction/disjunction/boolean normalizes its own subtree)
+must reproduce them.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bleve_spark import (
+    FieldMapping,
+    IndexBuilder,
+    IndexMapping,
+    SearchIndex,
+    Searcher,
+    SearchRequest,
+)
+from bleve_spark import query as Q
+
+_DOCS = [
+    # _id, name, desc, street, title  (base_test.go twoDocIndexDocs)
+    ("1", "marty", "beer beer beer beer", "couchbase way", None),
+    ("2", "steve", "angst beer couch database", "couchbase way", "mister"),
+    ("3", "dustin", "apple beer column dank", None, "mister"),
+    ("4", "ravi", " ".join(["beer"] * 65), None, None),
+    ("5", "bobert", "water", None, "mister"),
+]
+
+
+@pytest.fixture(scope="module")
+def two_doc_full(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("twodoc_full") / "idx")
+    m = IndexMapping(default_analyzer="simple", dynamic=False)
+    for f in ("name", "desc", "street", "title"):
+        m.add(FieldMapping(f))
+    df = spark.createDataFrame(
+        _DOCS, "_id string, name string, desc string, street string, title string"
+    )
+    IndexBuilder(spark, m, path).build(df, id_expr=F.col("_id"))
+    return SearchIndex(spark, path, m)
+
+
+def _scores(idx, q):
+    res = Searcher(idx).search(SearchRequest(query=q, size=10))
+    return {r["_id"]: r["score"] for r in res.hits.collect()}
+
+
+def _check(idx, q, expected):
+    got = _scores(idx, q)
+    assert set(got) == set(expected), (sorted(got), sorted(expected))
+    for doc, want in expected.items():
+        # the reference's own tolerance (scoresCloseEnough, 1e-3)
+        assert got[doc] == pytest.approx(want, abs=1e-3), (
+            doc,
+            got[doc],
+            want,
+        )
+
+
+T = Q.TermQuery
+
+
+# -- search_disjunction_test.go ----------------------------------------------
+
+
+def test_disjunction_flat(spark, two_doc_full):
+    q = Q.DisjunctionQuery(
+        disjuncts=[T(field="name", term="marty"), T(field="name", term="dustin")]
+    )
+    _check(
+        two_doc_full,
+        q,
+        {"1": 0.6775110856165737, "3": 0.6775110856165737},
+    )
+
+
+def test_disjunction_nested(spark, two_doc_full):
+    q = Q.DisjunctionQuery(
+        disjuncts=[
+            T(field="name", term="ravi"),
+            Q.DisjunctionQuery(
+                disjuncts=[
+                    T(field="name", term="marty"),
+                    T(field="name", term="dustin"),
+                ]
+            ),
+        ]
+    )
+    _check(
+        two_doc_full,
+        q,
+        {
+            "1": 0.2765927424732821,
+            "3": 0.2765927424732821,
+            "4": 0.5531854849465642,
+        },
+    )
+
+
+# -- search_conjunction_test.go ----------------------------------------------
+
+
+def test_conjunction_beer_and_marty(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[
+            T(field="desc", term="beer"),
+            T(field="name", term="marty", boost=5.0),
+        ]
+    )
+    _check(two_doc_full, q, {"1": 2.0097428702814377})
+
+
+def test_conjunction_angst_and_beer(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[T(field="desc", term="angst"), T(field="desc", term="beer")]
+    )
+    _check(two_doc_full, q, {"2": 1.0807601687084403})
+
+
+def test_conjunction_beer_and_missing_term(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[
+            T(field="desc", term="beer"),
+            T(field="name", term="jack", boost=5.0),
+        ]
+    )
+    assert _scores(two_doc_full, q) == {}
+
+
+def test_conjunction_beer_and_mister(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[
+            T(field="desc", term="beer"),
+            T(field="title", term="mister", boost=5.0),
+        ]
+    )
+    _check(
+        two_doc_full,
+        q,
+        {"2": 1.2877980334016337, "3": 1.2877980334016337},
+    )
+
+
+def test_conjunction_couchbase_and_mister(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[
+            T(field="street", term="couchbase"),
+            T(field="title", term="mister", boost=5.0),
+        ]
+    )
+    _check(two_doc_full, q, {"2": 1.4436599157093672})
+
+
+def test_conjunction_nested(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[
+            T(field="desc", term="beer", boost=5.0),
+            Q.ConjunctionQuery(
+                conjuncts=[
+                    T(field="street", term="couchbase"),
+                    T(field="title", term="mister", boost=5.0),
+                ]
+            ),
+        ]
+    )
+    _check(two_doc_full, q, {"2": 1.441614953806971})
+
+
+# -- search_boolean_test.go ---------------------------------------------------
+
+
+def test_boolean_must_should_mustnot(spark, two_doc_full):
+    q = Q.BooleanQuery(
+        must=[T(field="desc", term="beer")],
+        should=[T(field="name", term="marty"), T(field="name", term="dustin")],
+        must_not=[T(field="name", term="steve")],
+    )
+    _check(
+        two_doc_full,
+        q,
+        {
+            "1": 0.9818005051949021,
+            "3": 0.808709699395535,
+            "4": 0.34618161159873423,
+        },
+    )
+
+
+def test_boolean_should_mustnot_only(spark, two_doc_full):
+    q = Q.BooleanQuery(
+        should=[T(field="name", term="marty"), T(field="name", term="dustin")],
+        must_not=[T(field="name", term="steve")],
+    )
+    _check(
+        two_doc_full,
+        q,
+        {"1": 0.6775110856165737, "3": 0.6775110856165737},
+    )
+
+
+def test_boolean_mustnot_only_is_matchall_complement(spark, two_doc_full):
+    # The RAW searcher yields nothing without must/should
+    # (search_boolean_test.go test 2), but at the QUERY level the
+    # reference inserts MatchAll(1.0) as the must
+    # (query/boolean.go:161-168, the bug-#193 fix) — the engine
+    # implements query semantics, so the result is the complement.
+    q = Q.BooleanQuery(must_not=[T(field="name", term="steve")])
+    got = _scores(two_doc_full, q)
+    assert set(got) == {"1", "3", "4", "5"}
+    for v in got.values():
+        assert v == pytest.approx(1.0, abs=1e-9)
+
+
+def test_boolean_must_mustnot(spark, two_doc_full):
+    q = Q.BooleanQuery(
+        must=[T(field="desc", term="beer")],
+        must_not=[T(field="name", term="steve")],
+    )
+    _check(two_doc_full, q, {"1": 1.0, "3": 0.5, "4": 1.0})
+
+
+def test_boolean_must_two_mustnot(spark, two_doc_full):
+    q = Q.BooleanQuery(
+        must=[T(field="desc", term="beer")],
+        must_not=[
+            T(field="name", term="steve"),
+            T(field="name", term="marty"),
+        ],
+    )
+    _check(two_doc_full, q, {"3": 0.5, "4": 1.0})
+
+
+def test_boolean_min_should_unreachable(spark, two_doc_full):
+    # should = disjunction(min=2) of two name terms no doc has both of
+    q = Q.BooleanQuery(
+        must=[T(field="desc", term="beer")],
+        should=[T(field="name", term="marty"), T(field="name", term="dustin")],
+        min_should=2,
+    )
+    assert _scores(two_doc_full, q) == {}
+
+
+def test_conjunction_with_nested_boolean(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[
+            T(field="name", term="marty", boost=5.0),
+            Q.BooleanQuery(must=[T(field="desc", term="beer")]),
+        ]
+    )
+    _check(two_doc_full, q, {"1": 2.0097428702814377})
+
+
+def test_conjunction_with_full_boolean(spark, two_doc_full):
+    q = Q.ConjunctionQuery(
+        conjuncts=[
+            Q.BooleanQuery(
+                must=[T(field="desc", term="beer")],
+                should=[
+                    T(field="name", term="marty"),
+                    T(field="name", term="dustin"),
+                ],
+                must_not=[T(field="name", term="steve")],
+            ),
+            T(field="name", term="dustin", boost=5.0),
+        ]
+    )
+    _check(two_doc_full, q, {"3": 2.0681575785068107})
