@@ -528,9 +528,14 @@ _SQL_FT_PREFIX = f"""
 WITH {_TOKS}, {_TF}, {_DFREQ}, {_NN},
 pterms AS (SELECT term, df FROM dfreq WHERE term LIKE 's%'),
 tot AS (SELECT count(*) AS c FROM pterms),
+qnw AS (SELECT 1.0/sqrt(sum((1.0 + ln(nn.n/(p.df+1.0)))
+                          * (1.0 + ln(nn.n/(p.df+1.0))))) AS qn
+        FROM pterms p, nn),
 s AS (SELECT t.doc_id,
-             sqrt(t.tf) * cast(1.0/sqrt(t.dl) AS real) * (1.0 + ln(nn.n/(p.df+1.0))) AS sc
-      FROM tf t JOIN pterms p ON t.term=p.term, nn)
+             sqrt(t.tf) * cast(1.0/sqrt(t.dl) AS real)
+               * (1.0 + ln(nn.n/(p.df+1.0)))
+               * (1.0 + ln(nn.n/(p.df+1.0))) * qnw.qn AS sc
+      FROM tf t JOIN pterms p ON t.term=p.term, nn, qnw)
 SELECT doc_id, {R4("sum(sc) * count(*) / tot.c")} AS score_r
 FROM s, tot GROUP BY doc_id, tot.c
 """

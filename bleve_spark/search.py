@@ -1042,8 +1042,13 @@ class Searcher:
 
     def matches(self, q: Q.Query) -> DataFrame:
         """DataFrame(docid, score) for a query. Composites push queryNorm
-        to leaves (ref: search_conjunction.go:108-120); a bare leaf query
-        scores without queryNorm, exactly like the reference."""
+        to leaves (ref: search_conjunction.go:108-120); a bare TERM leaf
+        scores without queryNorm, exactly like the reference — but
+        multi-term EXPANSIONS (prefix/wildcard/regexp/fuzzy/term_range)
+        compile to a disjunction whose constructor computes its own
+        queryNorm (search_disjunction_slice.go:75,104-116), so they norm
+        even at the top level (reference regexp table: "co.*" scores
+        0.33875..., which includes 1/sqrt(sum of idf^2))."""
         plan = self.plan(q)
         qn = None
         if (
@@ -1057,6 +1062,11 @@ class Searcher:
                     Q.MatchQuery,
                     Q.MatchPhraseQuery,
                     Q.PhraseQuery,
+                    Q.PrefixQuery,
+                    Q.WildcardQuery,
+                    Q.RegexpQuery,
+                    Q.FuzzyQuery,
+                    Q.TermRangeQuery,
                 ),
             )
             and plan.weight > 0
@@ -1686,6 +1696,15 @@ class Searcher:
         if not rows:
             return None
         n = self.index.doc_count
+        # the expansion disjunction computes its own queryNorm over the
+        # FULL term slice (search_disjunction_slice.go:104-116) — must
+        # mirror matches()/_plan_multi_term so explanation == score
+        qn = None
+        if self.similarity == scoring.TFIDF:
+            wc = F.lit(q.boost) * self._idf_col(F.col("df"))
+            w = slice_df.agg(F.sum(wc * wc).alias("w")).collect()[0]["w"]
+            if w and w > 0:
+                qn = 1.0 / math.sqrt(float(w))
         children = []
         for r in sorted(rows, key=lambda r: r["term"]):
             idf = scoring.idf(self.similarity, n, int(r["df"]))
@@ -1693,7 +1712,7 @@ class Searcher:
                 self._term_expl(
                     E, fld, r["term"], doc_id, int(r["tf"]),
                     int(r["length"]), idf, int(r["df"]), n, q.boost,
-                    None,
+                    qn,
                 )
             )
         if self.similarity == scoring.TFIDF:

@@ -273,3 +273,51 @@ def test_conjunction_with_full_boolean(spark, two_doc_full):
         ]
     )
     _check(two_doc_full, q, {"3": 2.0681575785068107})
+
+
+# -- search_regexp_test.go ----------------------------------------------------
+
+
+def test_regexp_name_and_desc(spark, two_doc_full):
+    # "ma.*" on name -> marty (doc 1), exact reference score
+    _check(
+        two_doc_full,
+        Q.RegexpQuery(field="name", regexp="ma.*"),
+        {"1": 1.916290731874155},
+    )
+    # "co.*" on desc -> couch (doc 2), column (doc 3)
+    _check(
+        two_doc_full,
+        Q.RegexpQuery(field="desc", regexp="co.*"),
+        {"2": 0.33875554280828685, "3": 0.33875554280828685},
+    )
+
+
+# -- search_term_range_test.go (all 11 table cases) ---------------------------
+
+
+@pytest.mark.parametrize(
+    "mn,mx,imn,imx,want",
+    [
+        ("marty", "marty", True, True, {"1"}),
+        ("marty", "ravi", True, True, {"1", "4"}),
+        ("marty", "ravi", True, False, {"1"}),
+        ("martz", "ravi", True, False, set()),
+        ("marty", "ravi", False, True, {"4"}),
+        ("marty", "rav", False, True, set()),
+        ("marty", None, True, True, {"1", "2", "4"}),
+        (None, "ravi", True, True, {"1", "3", "4", "5"}),
+        (None, None, True, True, {"1", "2", "3", "4", "5"}),
+        (None, None, False, True, {"1", "2", "3", "4", "5"}),
+        (None, None, True, False, {"1", "2", "3", "4", "5"}),
+    ],
+)
+def test_term_range_table(spark, two_doc_full, mn, mx, imn, imx, want):
+    q = Q.TermRangeQuery(
+        field="name",
+        min=mn,
+        max=mx,
+        inclusive_min=imn,
+        inclusive_max=imx,
+    )
+    assert set(_scores(two_doc_full, q)) == want
