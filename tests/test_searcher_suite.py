@@ -321,3 +321,53 @@ def test_term_range_table(spark, two_doc_full, mn, mx, imn, imx, want):
         inclusive_max=imx,
     )
     assert set(_scores(two_doc_full, q)) == want
+
+
+# -- collector/topn_test.go invariants ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tie_index(spark, tmp_path_factory):
+    """14 docs with IDENTICAL content -> identical scores
+    (TestPaginationSameScores's stub, realized on a real index)."""
+    path = str(tmp_path_factory.mktemp("ties") / "idx")
+    m = IndexMapping(default_analyzer="simple", dynamic=False).add(
+        FieldMapping("body")
+    )
+    rows = [(chr(ord("a") + i), "same tokens here") for i in range(14)]
+    df = spark.createDataFrame(rows, "_id string, body string")
+    IndexBuilder(spark, m, path).build(df, id_expr=F.col("_id"))
+    return SearchIndex(spark, path, m)
+
+
+def _page(idx, from_, size, with_total=False):
+    res = Searcher(idx).search(
+        SearchRequest(
+            query=T(field="body", term="same"),
+            from_=from_,
+            size=size,
+            with_total=with_total,
+        )
+    )
+    return [r["_id"] for r in res.hits.collect()], res.total
+
+
+def test_pagination_same_scores_disjoint_and_total(spark, tie_index):
+    # collector/topn_test.go TestPaginationSameScores: equal-score pages
+    # must be disjoint and cover everything; total counts all matches
+    p1, total = _page(tie_index, 0, 5, with_total=True)
+    assert total == 14
+    p2, _ = _page(tie_index, 5, 5)
+    p3, _ = _page(tie_index, 10, 5)
+    assert len(p1) == 5 and len(p2) == 5 and len(p3) == 4
+    assert len(set(p1) | set(p2) | set(p3)) == 14
+    assert not (set(p1) & set(p2)) and not (set(p2) & set(p3))
+    # deterministic: the same page re-fetched is identical
+    assert p1 == _page(tie_index, 0, 5)[0]
+
+
+def test_skip_past_all_hits_returns_empty(spark, tie_index):
+    # TestTop10ScoresSkip10Only9Hits analogue: from_ beyond the match
+    # count yields an empty page, not an error
+    page, total = _page(tie_index, 20, 10, with_total=True)
+    assert page == [] and total == 14
