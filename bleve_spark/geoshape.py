@@ -321,14 +321,24 @@ def _line_touches_poly(line: List[Point], rings) -> bool:
 
 
 def contains(a: Shape, b: Shape) -> bool:
-    """Every part of b lies inside some polygon of a (only polygonal
-    shapes can contain; the reference likewise resolves containment
-    against polygon coverings)."""
-    if not a.polygons:
+    """Every part of b lies inside some polygon of a, except that a
+    POINT of b is also contained by an exactly-equal vertex of a's
+    point set (s2 semantics, search_geoshape_points_test.go:63-66: a
+    multipoint CONTAINS its own vertex, while a linestring does NOT
+    contain its vertices — lines have no interior for containment)."""
+    if not a.polygons and not (a.points and b.points and not b.lines and not b.polygons):
         return False
     for p in b.points:
-        if not any(_point_in_rings(p, rings) for rings in a.polygons):
+        in_poly = any(
+            _point_in_rings(p, rings) for rings in a.polygons
+        )
+        on_vertex = any(
+            p[0] == q[0] and p[1] == q[1] for q in a.points
+        )
+        if not (in_poly or on_vertex):
             return False
+    if (b.lines or b.polygons) and not a.polygons:
+        return False
     for line in b.lines:
         if not any(_line_in_rings(line, rings) for rings in a.polygons):
             return False
